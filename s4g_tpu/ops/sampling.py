@@ -1,0 +1,144 @@
+"""Farthest point sampling (FPS).
+
+TPU-native replacement for the reference's FPS CUDA kernel
+(reference: pointnet2_utils/csrc/sampling_kernel.cu:50-118).  Semantics:
+
+* the first centroid is always point 0 (sampling_kernel.cu:67);
+* each iteration relaxes the per-point min-distance-to-selected-set, then
+  picks the argmax (ties resolved to the lowest linear index — the CUDA
+  kernel's tie-break depends on thread striding, but distances tie only for
+  duplicated points, where any choice yields the same geometry);
+* output is (B, M) indices, deterministic.
+
+Two implementations:
+* `_fps_xla`   — lax.fori_loop over centroids; correct everywhere, loop
+  overhead-bound (used on CPU and as the differential-test oracle's subject).
+* `_fps_pallas` — a single Pallas kernel per batch element keeping the xyz
+  planes and the running min-distance field resident in VMEM, fusing
+  distance-update + argmax per iteration (no HBM traffic inside the loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_LANES = 128
+
+
+def _fps_xla(points: Array, num_centroids: int) -> Array:
+    """(B, 3, N) -> (B, M) int32 via lax.fori_loop."""
+    b, _, n = points.shape
+    pts = points.transpose(0, 2, 1)  # (B, N, 3)
+
+    def body(i, state):
+        min_d, last, out = state
+        cur = jnp.take_along_axis(pts, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((pts - cur) ** 2, axis=-1)                       # (B,N)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(min_d, axis=-1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return min_d, nxt, out
+
+    min_d0 = jnp.full((b, n), jnp.inf, dtype=points.dtype)
+    last0 = jnp.zeros((b,), dtype=jnp.int32)
+    out0 = jnp.zeros((b, num_centroids), dtype=jnp.int32)
+    _, _, out = lax.fori_loop(1, num_centroids, body, (min_d0, last0, out0))
+    return out
+
+
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
+                num_centroids):
+    """One batch element. Refs: x/y/z (R, 128) planes, out (1, M) i32,
+    scratch min_d (R, 128) f32."""
+    rows = x_ref.shape[0]
+    lin = (lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
+           + lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1))
+    # Padded tail can never be selected: its min-distance stays at -1.
+    valid = lin < num_points
+    min_d_ref[:] = jnp.where(valid, jnp.inf, -1.0).astype(min_d_ref.dtype)
+    out_ref[0, 0] = 0
+
+    big = jnp.int32(rows * _LANES)
+
+    def body(i, cur):
+        r = cur // _LANES
+        c = cur % _LANES
+        cx = x_ref[r, c]
+        cy = y_ref[r, c]
+        cz = z_ref[r, c]
+        dx = x_ref[:] - cx
+        dy = y_ref[:] - cy
+        dz = z_ref[:] - cz
+        d = dx * dx + dy * dy + dz * dz
+        md = jnp.minimum(min_d_ref[:], d)
+        min_d_ref[:] = md
+        max_val = jnp.max(md)
+        # Lowest linear index attaining the max (deterministic tie-break).
+        nxt = jnp.min(jnp.where(md == max_val, lin, big))
+        out_ref[0, i] = nxt
+        return nxt
+
+    lax.fori_loop(1, num_centroids, body, jnp.int32(0))
+
+
+def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -> Array:
+    b, _, n = points.shape
+    n_pad = ((n + _LANES - 1) // _LANES) * _LANES
+    rows = n_pad // _LANES
+    planes = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 0), (0, n_pad - n)))
+    planes = planes.reshape(b, 3, rows, _LANES)
+
+    kernel = functools.partial(
+        _fps_kernel, num_points=n, num_centroids=num_centroids)
+
+    def squeeze_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref):
+        kernel(x_ref.at[0, 0], y_ref.at[0, 0], z_ref.at[0, 0], out_ref,
+               min_d_ref)
+
+    out = pl.pallas_call(
+        squeeze_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, _LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] * 3,
+        out_specs=pl.BlockSpec((1, num_centroids), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_centroids), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(planes[:, 0:1], planes[:, 1:2], planes[:, 2:3])
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def farthest_point_sample(points: Array, num_centroids: int,
+                          impl: str = "auto") -> Array:
+    """Farthest point sampling.
+
+    Args:
+        points: (B, 3, N) xyz, channels-first (reference layout).
+        num_centroids: number of centroids M to select (M <= N).
+        impl: "auto" (pallas on TPU, xla elsewhere), "pallas", "xla",
+              or "pallas_interpret" (debugging).
+
+    Returns:
+        (B, M) int32 centroid indices; index 0 is always first.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return _fps_xla(points, num_centroids)
+    if impl == "pallas":
+        return _fps_pallas(points, num_centroids)
+    if impl == "pallas_interpret":
+        return _fps_pallas(points, num_centroids, interpret=True)
+    raise ValueError(f"unknown impl {impl!r}")

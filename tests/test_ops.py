@@ -1,0 +1,138 @@
+"""Differential tests: s4g_tpu ops vs the numpy oracles implementing the
+reference CUDA semantics (the reference's own testing pattern, cf.
+gather_knn.py:27-60)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s4g_tpu import ops
+from s4g_tpu.ops.sampling import farthest_point_sample
+
+from reference_ops import (np_ball_query, np_farthest_point_sample,
+                           np_feature_interpolate, np_group_points,
+                           np_three_nn)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(0)
+
+
+def _cloud(rng, b, n):
+    # table-like cluttered scene scale: points in a ~0.8m cube
+    return (rng.rand(b, 3, n) * 0.8 - 0.4).astype(np.float32)
+
+
+class TestFPS:
+    @pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+    @pytest.mark.parametrize("b,n,m", [(1, 256, 64), (2, 1000, 128)])
+    def test_matches_oracle(self, rng, impl, b, n, m):
+        pts = _cloud(rng, b, n)
+        got = np.asarray(farthest_point_sample(jnp.asarray(pts), m, impl=impl))
+        want = np_farthest_point_sample(pts.astype(np.float64), m)
+        np.testing.assert_array_equal(got, want)
+
+    def test_first_index_is_zero(self, rng):
+        pts = _cloud(rng, 1, 128)
+        got = np.asarray(farthest_point_sample(jnp.asarray(pts), 16, impl="xla"))
+        assert got[0, 0] == 0
+
+    def test_no_duplicates(self, rng):
+        pts = _cloud(rng, 1, 512)
+        got = np.asarray(farthest_point_sample(jnp.asarray(pts), 128, impl="xla"))
+        assert len(np.unique(got[0])) == 128
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("b,n,m,k,r", [
+        (1, 512, 64, 16, 0.1),
+        (2, 1024, 128, 64, 0.05),
+        (1, 300, 50, 8, 0.02),   # many empty balls
+    ])
+    def test_matches_oracle(self, rng, b, n, m, k, r):
+        pts = _cloud(rng, b, n)
+        cent_idx = rng.choice(n, size=m, replace=False)
+        cents = pts[:, :, cent_idx]
+        got_idx, got_cnt = ops.ball_query(
+            jnp.asarray(pts), jnp.asarray(cents), r, k, chunk=32)
+        want_idx, want_cnt = np_ball_query(
+            pts.astype(np.float64), cents.astype(np.float64), r, k)
+        np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+    def test_empty_ball_gives_zero(self, rng):
+        pts = np.ones((1, 3, 8), dtype=np.float32)
+        cents = np.zeros((1, 3, 4), dtype=np.float32)
+        idx, cnt = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents), 0.1, 4)
+        assert np.all(np.asarray(idx) == 0)
+        assert np.all(np.asarray(cnt) == 0)
+
+
+class TestThreeNN:
+    @pytest.mark.parametrize("b,n1,n2", [(1, 200, 64), (2, 513, 100)])
+    def test_matches_oracle(self, rng, b, n1, n2):
+        q = _cloud(rng, b, n1)
+        k = _cloud(rng, b, n2)
+        got_idx, got_d = ops.three_nn(jnp.asarray(q), jnp.asarray(k), chunk=64)
+        want_idx, want_d = np_three_nn(q.astype(np.float64), k.astype(np.float64))
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+        np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-4, atol=1e-6)
+
+
+class TestGatherGroup:
+    def test_gather_points(self, rng):
+        pts = _cloud(rng, 2, 100)
+        idx = rng.randint(0, 100, size=(2, 30))
+        got = ops.gather_points(jnp.asarray(pts), jnp.asarray(idx))
+        want = np.stack([pts[b][:, idx[b]] for b in range(2)])
+        np.testing.assert_allclose(np.asarray(got), want)
+
+    def test_group_points(self, rng):
+        pts = rng.randn(2, 7, 100).astype(np.float32)
+        idx = rng.randint(0, 100, size=(2, 20, 5))
+        got = ops.group_points(jnp.asarray(pts), jnp.asarray(idx))
+        want = np_group_points(pts, idx)
+        np.testing.assert_allclose(np.asarray(got), want)
+
+    def test_group_points_grad_is_scatter_add(self, rng):
+        """Backward of group_points must scatter-add grads into the source
+        (reference: grouping_kernel.cu:57-96)."""
+        pts = rng.randn(1, 2, 10).astype(np.float32)
+        idx = np.array([[[0, 0, 1], [1, 2, 2]]])  # repeated indices
+        f = lambda p: jnp.sum(ops.group_points(p, jnp.asarray(idx)) * 2.0)
+        grad = np.asarray(jax.grad(f)(jnp.asarray(pts)))
+        want = np.zeros_like(pts)
+        for m in range(2):
+            for k in range(3):
+                want[0, :, idx[0, m, k]] += 2.0
+        np.testing.assert_allclose(grad, want)
+
+
+class TestInterpolate:
+    def test_matches_oracle(self, rng):
+        feat = rng.randn(2, 8, 50).astype(np.float32)
+        idx = rng.randint(0, 50, size=(2, 70, 3))
+        w = rng.rand(2, 70, 3).astype(np.float32)
+        w /= w.sum(-1, keepdims=True)
+        got = ops.feature_interpolate(
+            jnp.asarray(feat), jnp.asarray(idx), jnp.asarray(w))
+        want = np_feature_interpolate(feat, idx, w)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    def test_weights_from_distance(self):
+        from s4g_tpu.ops.interpolate import interpolation_weights
+        d = jnp.array([[[1.0, 2.0, 4.0]]])
+        w = np.asarray(interpolation_weights(d))
+        inv = np.array([1.0, 0.5, 0.25])
+        np.testing.assert_allclose(w[0, 0], inv / inv.sum(), rtol=1e-6)
+
+    def test_grad_flows(self, rng):
+        feat = rng.randn(1, 4, 20).astype(np.float32)
+        idx = rng.randint(0, 20, size=(1, 10, 3))
+        w = rng.rand(1, 10, 3).astype(np.float32)
+        f = lambda x: jnp.sum(ops.feature_interpolate(x, jnp.asarray(idx), jnp.asarray(w)))
+        grad = np.asarray(jax.grad(f)(jnp.asarray(feat)))
+        assert np.isfinite(grad).all() and np.abs(grad).sum() > 0
