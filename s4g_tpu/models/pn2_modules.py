@@ -1,0 +1,224 @@
+"""PointNet++ building blocks (set abstraction / feature propagation).
+
+Re-design of the reference's pointnet2_utils.modules (reference:
+network_models/models/pointnet2_utils/modules.py:9-547) as flax modules over
+channels-LAST tensors: xyz is (B, N, 3), features are (B, N, C) and grouped
+features (B, M, K, C), so the wide channel axis rides the MXU lanes and the
+per-point MLPs are plain Dense matmuls.  The neighbour ops (ops/) keep the
+reference's channels-first contract; thin transposes bridge the two.
+
+Special cases preserved from the reference:
+* num_centroids == 0  -> single global centroid at the origin
+  (modules.py:222-229)
+* num_centroids == -1 -> all points are centroids (modules.py:231-233)
+* grouped xyz is translated by its centroid before the MLP (modules.py:44)
+* SA pooling is max over neighbours (modules.py:242-244); the Avg variant
+  pools with mean (modules.py:322)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import ops
+from ..ops.interpolate import interpolation_weights
+from .nn_layers import SharedMLP
+
+Array = jax.Array
+
+
+def _cf(x: Array) -> Array:
+    """channels-last (B, N, C) -> channels-first (B, C, N)."""
+    return jnp.swapaxes(x, 1, 2)
+
+
+def gather_cl(x: Array, index: Array) -> Array:
+    """Gather rows: (B, N, C) x (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(x, index[..., None], axis=1)
+
+
+def group_cl(x: Array, index: Array) -> Array:
+    """Group rows: (B, N, C) x (B, M, K) -> (B, M, K, C)."""
+    b, _, c = x.shape
+    m, k = index.shape[1], index.shape[2]
+    out = jnp.take_along_axis(x, index.reshape(b, m * k)[..., None], axis=1)
+    return out.reshape(b, m, k, c)
+
+
+class PointNetSAModule(nn.Module):
+    """Set abstraction: FPS -> ball-query grouping -> SharedMLP -> pool.
+
+    reference: modules.py:174-250 (max pool) and 253-329 (mean pool via
+    pool="mean").
+    """
+    mlp_channels: Sequence[int]
+    num_centroids: int
+    radius: float
+    num_neighbours: int
+    use_xyz: bool = True
+    pool: str = "max"
+    edge: bool = False       # EdgeSAModule behaviour (modules.py:407-475)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: Array, feature: Optional[Array],
+                 train: bool = False) -> Tuple[Array, Array]:
+        b = xyz.shape[0]
+        if self.num_centroids == 0:
+            # Global stage: one centroid at the origin, group = all points.
+            new_xyz = jnp.zeros((b, 1, 3), dtype=xyz.dtype)
+            group_xyz = xyz[:, None]                      # (B, 1, N, 3)
+            group_feature = feature[:, None]              # (B, 1, N, C)
+            if self.use_xyz:
+                group_feature = jnp.concatenate([group_xyz, group_feature], -1)
+        else:
+            if self.num_centroids == -1:
+                new_xyz = xyz
+                centroid_feature = feature
+            else:
+                index = ops.farthest_point_sample(_cf(xyz), self.num_centroids)
+                new_xyz = gather_cl(xyz, index)
+                centroid_feature = (gather_cl(feature, index)
+                                    if feature is not None else None)
+
+            nbr_index, _ = ops.ball_query(
+                _cf(xyz), _cf(new_xyz), self.radius, self.num_neighbours)
+            group_xyz = group_cl(xyz, nbr_index) - new_xyz[:, :, None, :]
+            if feature is not None:
+                gf = group_cl(feature, nbr_index)
+                parts = [gf]
+                if self.edge:
+                    # neighbour-minus-centroid edge features
+                    # (EdgeQueryGrouper, modules.py:70-90)
+                    parts.append(gf - centroid_feature[:, :, None, :])
+                if self.use_xyz:
+                    parts = [group_xyz] + parts
+                group_feature = jnp.concatenate(parts, axis=-1)
+            else:
+                group_feature = group_xyz
+
+        new_feature = SharedMLP(self.mlp_channels, dtype=self.dtype,
+                                name="mlp")(group_feature, train=train)
+        if self.pool == "max":
+            new_feature = jnp.max(new_feature, axis=2)
+        elif self.pool == "mean":
+            new_feature = jnp.mean(new_feature, axis=2)
+        else:
+            raise ValueError(self.pool)
+        return new_xyz, new_feature
+
+
+class PointNetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference: modules.py:332-404).
+
+    Not wired into any released config; provided for API completeness.
+    """
+    mlp_channels_list: Sequence[Sequence[int]]
+    num_centroids: int
+    radius_list: Sequence[float]
+    num_neighbours_list: Sequence[int]
+    use_xyz: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: Array, feature: Optional[Array],
+                 train: bool = False) -> Tuple[Array, Array]:
+        if self.num_centroids > 0:
+            index = ops.farthest_point_sample(_cf(xyz), self.num_centroids)
+            new_xyz = gather_cl(xyz, index)
+        else:
+            new_xyz = xyz
+
+        outs = []
+        for i, (channels, radius, k) in enumerate(zip(
+                self.mlp_channels_list, self.radius_list,
+                self.num_neighbours_list)):
+            nbr_index, _ = ops.ball_query(_cf(xyz), _cf(new_xyz), radius, k)
+            group_xyz = group_cl(xyz, nbr_index) - new_xyz[:, :, None, :]
+            if feature is not None:
+                gf = group_cl(feature, nbr_index)
+                group_feature = (jnp.concatenate([group_xyz, gf], -1)
+                                 if self.use_xyz else gf)
+            else:
+                group_feature = group_xyz
+            f = SharedMLP(channels, dtype=self.dtype,
+                          name=f"mlp{i}")(group_feature, train=train)
+            outs.append(jnp.max(f, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class PointnetFPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance interpolation -> SharedMLP.
+
+    reference: modules.py:478-510 (+ FeatureInterpolator, modules.py:96-132).
+    num_neighbors == 0 broadcasts the single global feature instead.
+    """
+    mlp_channels: Sequence[int]
+    num_neighbors: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dense_xyz, sparse_xyz, dense_feature, sparse_feature,
+                 train: bool = False) -> Array:
+        if self.num_neighbors == 0:
+            assert sparse_xyz.shape[1] == 1
+            expanded = jnp.broadcast_to(
+                sparse_feature,
+                (sparse_feature.shape[0], dense_xyz.shape[1],
+                 sparse_feature.shape[2]))
+            new_feature = jnp.concatenate([expanded, dense_feature], axis=-1)
+        else:
+            assert self.num_neighbors == 3
+            index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz))
+            weight = interpolation_weights(distance)
+            neighbours = group_cl(sparse_feature, index)       # (B, N1, 3, C)
+            interpolated = jnp.sum(neighbours * weight[..., None], axis=2)
+            if dense_feature is not None:
+                new_feature = jnp.concatenate(
+                    [interpolated, dense_feature], axis=-1)
+            else:
+                new_feature = interpolated
+        return SharedMLP(self.mlp_channels, dtype=self.dtype,
+                         name="mlp")(new_feature, train=train)
+
+
+class EdgeFPModule(nn.Module):
+    """Edge feature propagation (reference: modules.py:513-547 +
+    EdgeFeatureInterpolator, modules.py:135-171): interpolated features plus
+    (gathered - interpolated) edge features per neighbour, SharedMLP, mean
+    over the K neighbours."""
+    mlp_channels: Sequence[int]
+    num_neighbors: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dense_xyz, sparse_xyz, dense_feature, sparse_feature,
+                 train: bool = False) -> Array:
+        if self.num_neighbors == 0:
+            assert sparse_xyz.shape[1] == 1
+            expanded = jnp.broadcast_to(
+                sparse_feature,
+                (sparse_feature.shape[0], dense_xyz.shape[1],
+                 sparse_feature.shape[2]))
+            new_feature = jnp.concatenate([expanded, dense_feature], axis=-1)
+            return SharedMLP(self.mlp_channels, dtype=self.dtype,
+                             name="mlp")(new_feature, train=train)
+
+        assert self.num_neighbors == 3
+        k = self.num_neighbors
+        index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz))
+        weight = interpolation_weights(distance)
+        gathered = group_cl(sparse_feature, index)             # (B, N1, K, C)
+        interpolated = jnp.sum(gathered * weight[..., None], axis=2)
+        interp_k = jnp.repeat(interpolated[:, :, None, :], k, axis=2)
+        parts = [interp_k, gathered - interp_k]
+        if dense_feature is not None:
+            parts.append(jnp.repeat(dense_feature[:, :, None, :], k, axis=2))
+        new_feature = jnp.concatenate(parts, axis=-1)          # (B, N1, K, *)
+        out = SharedMLP(self.mlp_channels, dtype=self.dtype,
+                        name="mlp")(new_feature, train=train)
+        return jnp.mean(out, axis=2)
