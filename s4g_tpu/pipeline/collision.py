@@ -1,0 +1,84 @@
+"""Gripper-vs-cloud collision checking, batched on TPU.
+
+Replaces the reference's per-pose python loop (reference:
+cloud_processor/view_collision_checker.py:37-65, invoked pose-by-pose from
+grasp_detector.py:222-224) with ONE batched program over all candidate
+poses: a (G, 4, 4) x (4, N) einsum into gripper-local frames, then masked
+point counts against the back-hand and finger boxes.
+
+Geometry and thresholds match the reference exactly:
+* close plane:  -BOTTOM_LENGTH < x < FINGER_LENGTH
+* z slab:       |z| < HALF_HAND_THICKNESS
+* back-hand:    |y| < HALF_BOTTOM_WIDTH and x < -BACK_COLLISION_MARGIN,
+                colliding if count > BACK_COLLISION_THRESHOLD
+* fingers:      HALF_BOTTOM_SPACE < |y| < HALF_BOTTOM_WIDTH,
+                colliding if count > FINGER_COLLISION_THRESHOLD
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import gripper_config as G
+from ..configs import processing_config as P
+
+Array = jax.Array
+
+
+@jax.jit
+def gripper_local_masks(local_pts: Array, valid: Array | None = None):
+    """Region masks for points already in gripper-local frames.
+
+    Args:
+        local_pts: (..., 3, N) gripper-local coordinates.
+        valid: optional (..., N) or (N,) bool mask of live points.
+
+    Returns:
+        dict of (..., N) bool masks: close_plane, z_slab, back, fingers,
+        close_region (between the fingers).
+    """
+    x, y, z = local_pts[..., 0, :], local_pts[..., 1, :], local_pts[..., 2, :]
+    close_plane = (x < G.FINGER_LENGTH) & (x > -G.BOTTOM_LENGTH)
+    if valid is not None:
+        close_plane &= valid
+    z_slab = (z < G.HALF_HAND_THICKNESS) & (z > -G.HALF_HAND_THICKNESS)
+    back = (close_plane & z_slab
+            & (y < G.HALF_BOTTOM_WIDTH) & (y > -G.HALF_BOTTOM_WIDTH)
+            & (x < -P.BACK_COLLISION_MARGIN))
+    finger_y = (((y < G.HALF_BOTTOM_WIDTH) & (y > G.HALF_BOTTOM_SPACE))
+                | ((y > -G.HALF_BOTTOM_WIDTH) & (y < -G.HALF_BOTTOM_SPACE)))
+    fingers = close_plane & z_slab & finger_y
+    close_region = (close_plane & z_slab
+                    & (y < G.HALF_BOTTOM_SPACE) & (y > -G.HALF_BOTTOM_SPACE))
+    return {"close_plane": close_plane, "z_slab": z_slab, "back": back,
+            "fingers": fingers, "close_region": close_region}
+
+
+@functools.partial(jax.jit, static_argnames=("back_threshold",
+                                             "finger_threshold"))
+def batch_view_non_collision(global_to_local: Array, cloud: Array,
+                             valid: Array | None = None,
+                             back_threshold: float = P.BACK_COLLISION_THRESHOLD,
+                             finger_threshold: float = P.FINGER_COLLISION_THRESHOLD
+                             ) -> Array:
+    """Vectorized view_non_collision over G poses.
+
+    Args:
+        global_to_local: (G, 4, 4) inverse grasp poses.
+        cloud: (N, 3) view cloud in the global frame.
+        valid: optional (N,) bool mask.
+
+    Returns:
+        (G,) bool — True where the gripper does NOT collide.
+    """
+    homo = jnp.concatenate(
+        [cloud.T, jnp.ones((1, cloud.shape[0]), cloud.dtype)], axis=0)
+    local = jnp.einsum("gij,jn->gin", global_to_local, homo,
+                       preferred_element_type=jnp.float32)
+    masks = gripper_local_masks(local[:, :3, :], valid)
+    back_count = jnp.sum(masks["back"], axis=-1)
+    finger_count = jnp.sum(masks["fingers"], axis=-1)
+    return (back_count <= back_threshold) & (finger_count <= finger_threshold)

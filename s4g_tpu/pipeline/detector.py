@@ -1,0 +1,262 @@
+"""GraspDetector — the deployable end-to-end grasp-proposal API.
+
+Re-design of the reference detector (reference: grasp_detector.py:22-254)
+around ONE fused TPU program: preprocessing (crop/voxel/outlier/sample),
+the PointNet++ forward pass, post-processing (score expectation, threshold,
+verticality, translation bins, Gram-Schmidt), the batched collision check,
+and importance sampling all run inside a single jit — the host supplies a
+padded raw cloud and receives final poses + scores.
+
+Differences from the reference (all TPU-motivated):
+* no per-pose python loops: collision checking is a (G, 4, N) einsum;
+* static shapes: the raw cloud is padded to `cloud_capacity`, candidate
+  grasps are a fixed top-K with validity masks;
+* the model runs in bfloat16 by default (float32 heads), configurable via
+  MODEL.COMPUTE_DTYPE.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import processing_config as proc_cfg
+from ..configs.config import Config, load_cfg_from_file
+from ..models import build_model
+from ..utils.checkpoint import Checkpointer, import_torch_checkpoint
+from ..utils.logger import MetricLogger, setup_logger
+from ..utils.math_utils import batch_transformation_inv
+from .collision import batch_view_non_collision
+from .postprocessing import (REAL2TRAIN, TRAIN2REAL, importance_sample,
+                             post_process_predictions)
+from .preprocessing import preprocess_cloud
+
+_SUPPORTED_MODELS = ("curvature_model", "contact_model")
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+class GraspDetector:
+    """Detect grasp poses in the camera frame from a raw point cloud."""
+
+    def __init__(self, model: str = "curvature_model", training: bool = False,
+                 output_dir: str = "output", logger_name: str = "S4G",
+                 cloud_capacity: int = 65536, num_candidates: int = 1024,
+                 seed: int = 0, variables=None,
+                 enable_voxel_downsample: bool = True,
+                 enable_outlier_removal: bool = True):
+        if model in _SUPPORTED_MODELS:
+            cfg_path = os.path.join(_CONFIG_DIR, f"{model}.yaml")
+        elif os.path.exists(model):
+            cfg_path = model
+        else:
+            raise ValueError(
+                f"Model {model!r} is not supported; options: {_SUPPORTED_MODELS}")
+
+        self.cfg: Config = load_cfg_from_file(cfg_path)
+        assert self.cfg.TEST.BATCH_SIZE == 1
+
+        self._output_path = os.path.abspath(output_dir)
+        os.makedirs(self._output_path, exist_ok=True)
+        self.logger = setup_logger(logger_name, self._output_path, "detector")
+        self.logger.info("Devices: %s", jax.devices())
+        self.logger.info("Loaded config from %s", cfg_path)
+
+        self.net, self.loss_fn, self.metric_fn = build_model(self.cfg)
+        self._training = training
+        self.meters = MetricLogger(delimiter="  ")
+        self.cloud_capacity = cloud_capacity
+        self.num_candidates = num_candidates
+        self.num_input = self.cfg.MODEL.PN2.NUM_INPUT
+        self._enable_voxel = enable_voxel_downsample
+        self._enable_outlier = enable_outlier_removal
+        self._key = jax.random.key(seed)
+
+        if variables is not None:
+            self.variables = variables
+        else:
+            self.variables = self._load_weights()
+
+        self._detect_fn = self._build_detect_fn()
+
+    # -- weights --------------------------------------------------------------
+
+    def _init_variables(self):
+        dummy = {"scene_points": jnp.zeros((1, 3, self.num_input), jnp.float32)}
+        return self.net.init(jax.random.key(self.cfg.RNG_SEED), dummy,
+                             train=False)
+
+    def _load_weights(self):
+        weight = self.cfg.TEST.WEIGHT
+        if weight:
+            weight = weight.replace(
+                "${PROJECT_HOME}", os.path.join(_CONFIG_DIR, ".."))
+            if os.path.exists(weight):
+                if weight.endswith((".pth", ".pt")):
+                    self.logger.info("Importing torch weights from %s", weight)
+                    return import_torch_checkpoint(weight)
+                self.logger.info("Loading checkpoint %s", weight)
+                return Checkpointer(self._output_path, self.logger).load(
+                    weight, resume=False, target=self._init_variables())
+            self.logger.warning("Weight file %s not found", weight)
+        ckpt = Checkpointer(self._output_path, self.logger)
+        if ckpt.has_checkpoint():
+            return ckpt.load(None, resume=True,
+                             target=self._init_variables())
+        self.logger.info("No weights found; random initialization")
+        return self._init_variables()
+
+    # -- fused TPU program ----------------------------------------------------
+
+    def _build_detect_fn(self):
+        net = self.net
+        num_input = self.num_input
+        num_candidates = self.num_candidates
+        real2train = jnp.asarray(REAL2TRAIN)
+        enable_voxel = self._enable_voxel
+        enable_outlier = self._enable_outlier
+
+        @functools.partial(jax.jit, static_argnames=("num_selected",
+                                                     "collision_check"))
+        def detect_fn(variables, cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
+                      key, score_threshold: float, vertical_threshold: float,
+                      num_selected: int, collision_check: bool):
+            """cloud: (capacity, 3) padded camera-frame points."""
+            k_sample, k_importance = jax.random.split(key)
+            # Camera frame -> training frame (grasp_detector.py:102).
+            train_cloud = cloud @ real2train[:3, :3].T
+
+            if enable_voxel:
+                pre = preprocess_cloud(
+                    train_cloud, k_sample, num_points=num_input,
+                    voxel_size=proc_cfg.VOXEL_SIZE,
+                    outlier_radius=proc_cfg.RADIUS_THRESHOLD,
+                    outlier_min_neighbors=(
+                        proc_cfg.NUM_POINTS_THRESHOLD if enable_outlier else 1),
+                    capacity=cloud.shape[0])
+                points = pre.points
+            else:
+                from .preprocessing import random_sample_fixed
+                idx = random_sample_fixed(k_sample, cloud_valid, num_input)
+                points = train_cloud[idx]
+
+            data_batch = {"scene_points": points.T[None]}    # (1, 3, N)
+            preds = net.apply(variables, data_batch, train=False)
+
+            post = post_process_predictions(
+                points.T, preds["score"][0], preds["frame_R"][0],
+                preds["frame_t"][0], score_threshold, vertical_threshold,
+                num_candidates=num_candidates)
+
+            valid = post.valid
+            if collision_check:
+                # Collision vs the ORIGINAL camera-frame cloud
+                # (grasp_detector.py:218-224).
+                g2l = batch_transformation_inv(post.poses)
+                non_collision = batch_view_non_collision(
+                    g2l, cloud, cloud_valid)
+                valid = valid & non_collision
+
+            sel = importance_sample(k_importance, post.scores, valid,
+                                    num_selected)
+            any_valid = jnp.any(valid)
+            return {
+                "poses": post.poses,
+                "scores": post.scores,
+                "valid": valid,
+                "selected": sel,
+                "any_valid": any_valid,
+                "num_valid": jnp.sum(valid.astype(jnp.int32)),
+            }
+
+        return detect_fn
+
+    # -- public API -----------------------------------------------------------
+
+    def _pad_cloud(self, cloud_array: np.ndarray):
+        """(n, 3) -> padded (capacity, 3) + valid mask."""
+        n = cloud_array.shape[0]
+        if n > self.cloud_capacity:
+            sel = np.random.choice(n, self.cloud_capacity, replace=False)
+            cloud_array = cloud_array[sel]
+            n = self.cloud_capacity
+        out = np.zeros((self.cloud_capacity, 3), np.float32)
+        out[:n] = cloud_array
+        # Park padding far outside the workspace so neighbour ops ignore it.
+        out[n:] = 1e6
+        valid = np.zeros(self.cloud_capacity, bool)
+        valid[:n] = True
+        return jnp.asarray(out), jnp.asarray(valid)
+
+    def eval(self, cloud: np.ndarray) -> dict:
+        """Raw model predictions for a camera-frame cloud (reference
+        grasp_detector.py:107-121)."""
+        cloud = np.asarray(cloud, np.float32)
+        if cloud.shape[0] == 3 and cloud.shape[1] != 3:
+            cloud = cloud.T
+        padded, valid = self._pad_cloud(cloud)
+        self._key, sub = jax.random.split(self._key)
+        train_cloud = padded @ jnp.asarray(REAL2TRAIN[:3, :3]).T
+        pre = preprocess_cloud(train_cloud, sub, num_points=self.num_input,
+                               capacity=self.cloud_capacity)
+        batch = {"scene_points": pre.points.T[None]}
+        return self.net.apply(self.variables, batch, train=False)
+
+    def detect(self, cloud_array: np.ndarray,
+               cloud_mask: Optional[np.ndarray] = None, num_selected: int = 5,
+               score_threshold: float = 0.7, verticalness_threshold: float = 0.2,
+               collision_check: bool = True, debug: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Full pipeline: returns (poses (n, 4, 4) camera frame, scores (n,)).
+
+        Matches GraspDetector.detect (reference grasp_detector.py:187-254)
+        including stage timing logs.
+        """
+        start = time.time()
+        cloud_array = np.asarray(cloud_array, np.float32)
+        assert cloud_array.ndim == 2, "input must be (n, 3) or (3, n)"
+        if cloud_array.shape[0] == 3 and cloud_array.shape[1] != 3:
+            cloud_array = cloud_array.T
+        if isinstance(cloud_mask, np.ndarray):
+            cloud_array = cloud_array[cloud_mask]
+
+        padded, valid = self._pad_cloud(cloud_array)
+        self._key, sub = jax.random.split(self._key)
+        tic = time.time()
+        self.logger.info("Host prep finished, cost ***%.4fs***", tic - start)
+
+        out = self._detect_fn(self.variables, padded, valid, sub,
+                              float(score_threshold),
+                              float(verticalness_threshold),
+                              num_selected, bool(collision_check))
+        out = jax.tree.map(np.asarray, out)
+        tac = time.time()
+        self.logger.info("Device pipeline finished, cost ***%.4fs***", tac - tic)
+
+        poses, scores, valid_mask = out["poses"], out["scores"], out["valid"]
+        num_valid = int(out["num_valid"])
+        if num_valid == 0:
+            self.logger.info("No valid grasp found")
+            return np.zeros((0, 4, 4), np.float32), np.zeros((0,), np.float32)
+
+        if num_valid > num_selected:
+            idx = np.unique(out["selected"])
+        else:
+            idx = np.nonzero(valid_mask)[0]
+        poses, scores = poses[idx], scores[idx]
+
+        if debug:
+            dbg = os.path.join(self._output_path, "debug")
+            os.makedirs(dbg, exist_ok=True)
+            np.savetxt(os.path.join(dbg, "top_scores.txt"), scores, fmt="%.4f")
+            np.savetxt(os.path.join(dbg, "processed_mat44.txt"),
+                       poses.reshape(-1, 16), fmt="%.4f")
+
+        self.logger.info("Overall time cost of grasp detection: ***%.4fs***",
+                         time.time() - start)
+        return poses, scores

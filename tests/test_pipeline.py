@@ -1,0 +1,234 @@
+"""Pipeline tests: preprocessing vs numpy oracles, batched collision checker
+vs a direct transcription of the reference's per-pose logic, post-processing
+invariants, and an end-to-end GraspDetector smoke test on the bundled scene
+(reference test strategy: grasp_proposal_test.py:36-91)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s4g_tpu.configs import gripper_config as G
+from s4g_tpu.configs import processing_config as P
+from s4g_tpu.pipeline.collision import batch_view_non_collision
+from s4g_tpu.pipeline.postprocessing import (expected_score,
+                                             importance_sample,
+                                             post_process_predictions)
+from s4g_tpu.pipeline.preprocessing import (radius_outlier_mask,
+                                            random_sample_fixed,
+                                            voxel_downsample,
+                                            workspace_crop_mask)
+
+REFERENCE_SCENE = "/root/reference/inference/2638_view_0.p"
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(3)
+
+
+class TestPreprocessing:
+    def test_workspace_crop(self, rng):
+        pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        ws = [-0.5, 0.5, -0.4, 0.4, -0.3, 0.3]
+        got = np.asarray(workspace_crop_mask(jnp.asarray(pts), ws))
+        want = ((pts[:, 0] > -0.5) & (pts[:, 0] < 0.5)
+                & (pts[:, 1] > -0.4) & (pts[:, 1] < 0.4)
+                & (pts[:, 2] > -0.3) & (pts[:, 2] < 0.3))
+        np.testing.assert_array_equal(got, want)
+
+    def test_voxel_downsample_averages(self, rng):
+        pts = rng.uniform(0, 0.1, (400, 3)).astype(np.float32)
+        valid = np.ones(400, bool)
+        res = voxel_downsample(jnp.asarray(pts), jnp.asarray(valid), 0.02, 256)
+        got = np.asarray(res.points)[np.asarray(res.valid)]
+
+        origin = pts.min(0)
+        coords = np.floor((pts - origin) / 0.02).astype(np.int64)
+        keys = {}
+        for p, c in zip(pts, coords):
+            keys.setdefault(tuple(c), []).append(p)
+        want = np.stack([np.mean(v, axis=0) for v in keys.values()])
+        assert got.shape[0] == len(keys)
+        # compare as sets (ordering differs)
+        got_sorted = got[np.lexsort(got.T)]
+        want_sorted = want[np.lexsort(want.T)]
+        np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-5)
+
+    def test_voxel_ignores_invalid(self, rng):
+        pts = rng.uniform(0, 0.1, (100, 3)).astype(np.float32)
+        valid = np.zeros(100, bool)
+        valid[:10] = True
+        res = voxel_downsample(jnp.asarray(pts), jnp.asarray(valid), 0.5, 64)
+        assert int(res.num_voxels) >= 1
+        assert int(np.asarray(res.valid).sum()) == int(res.num_voxels)
+
+    def test_radius_outlier(self, rng):
+        # dense cluster + isolated point
+        cluster = rng.normal(0, 0.002, (50, 3)).astype(np.float32)
+        lone = np.array([[1.0, 1.0, 1.0]], np.float32)
+        pts = np.concatenate([cluster, lone])
+        valid = np.ones(51, bool)
+        keep = np.asarray(radius_outlier_mask(
+            jnp.asarray(pts), jnp.asarray(valid), 0.02, 10, chunk=16))
+        assert keep[:50].all()
+        assert not keep[50]
+
+    def test_random_sample_without_replacement(self, rng):
+        valid = np.zeros(100, bool)
+        valid[20:80] = True
+        idx = np.asarray(random_sample_fixed(jax.random.key(0),
+                                             jnp.asarray(valid), 40))
+        assert len(np.unique(idx)) == 40
+        assert valid[idx].all()
+
+    def test_random_sample_with_replacement(self, rng):
+        valid = np.zeros(100, bool)
+        valid[5:15] = True   # only 10 valid, ask for 32
+        idx = np.asarray(random_sample_fixed(jax.random.key(1),
+                                             jnp.asarray(valid), 32))
+        assert valid[idx].all()
+        assert idx.shape == (32,)
+
+
+def np_view_non_collision(g2l, cloud):
+    """Direct transcription of the reference collision rule
+    (view_collision_checker.py:37-65) for one pose."""
+    homo = np.concatenate([cloud.T, np.ones((1, cloud.shape[0]))], 0)
+    local = g2l @ homo
+    close = (local[0] < G.FINGER_LENGTH) & (local[0] > -G.BOTTOM_LENGTH)
+    pts = local[:3, close]
+    z_ok = (pts[2] < G.HALF_HAND_THICKNESS) & (pts[2] > -G.HALF_HAND_THICKNESS)
+    back = ((pts[1] < G.HALF_BOTTOM_WIDTH) & (pts[1] > -G.HALF_BOTTOM_WIDTH)
+            & (pts[0] < -P.BACK_COLLISION_MARGIN) & z_ok)
+    if back.sum() > P.BACK_COLLISION_THRESHOLD:
+        return False
+    fingers = (((pts[1] < G.HALF_BOTTOM_WIDTH) & (pts[1] > G.HALF_BOTTOM_SPACE))
+               | ((pts[1] > -G.HALF_BOTTOM_WIDTH) & (pts[1] < -G.HALF_BOTTOM_SPACE)))
+    if (z_ok & fingers).sum() > P.FINGER_COLLISION_THRESHOLD:
+        return False
+    return True
+
+
+class TestCollision:
+    def test_matches_reference_rule(self, rng):
+        cloud = rng.uniform(-0.3, 0.3, (2000, 3)).astype(np.float32)
+        poses = []
+        for _ in range(16):
+            # random rigid inverse transforms near the cloud
+            a = rng.randn(3, 3)
+            q, _ = np.linalg.qr(a)
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            t = rng.uniform(-0.2, 0.2, 3)
+            m = np.eye(4)
+            m[:3, :3] = q
+            m[:3, 3] = t
+            poses.append(m)
+        poses = np.stack(poses).astype(np.float32)
+
+        got = np.asarray(batch_view_non_collision(
+            jnp.asarray(poses), jnp.asarray(cloud)))
+        want = np.array([np_view_non_collision(p.astype(np.float64),
+                                               cloud.astype(np.float64))
+                         for p in poses])
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_space_no_collision(self):
+        cloud = np.full((100, 3), 10.0, np.float32)
+        pose = np.eye(4, dtype=np.float32)[None]
+        got = np.asarray(batch_view_non_collision(
+            jnp.asarray(pose), jnp.asarray(cloud)))
+        assert got[0]
+
+
+class TestPostProcessing:
+    def test_expected_score_bins(self):
+        logits = jnp.zeros((3, 4))  # uniform softmax
+        s = np.asarray(expected_score(logits))
+        np.testing.assert_allclose(s, np.mean([1 / 3, 2 / 3, 1.0]), atol=1e-6)
+        s_low = np.asarray(expected_score(logits, upper_bins=False))
+        np.testing.assert_allclose(s_low, np.mean([0, 1 / 3, 2 / 3]), atol=1e-6)
+
+    def test_poses_orthonormal_and_sorted(self, rng):
+        n, k = 200, 32
+        points = jnp.asarray(rng.uniform(-0.2, 0.2, (3, n)).astype(np.float32))
+        score_logits = jnp.asarray(rng.randn(3, n).astype(np.float32))
+        frame_r = jnp.asarray(rng.randn(9, n).astype(np.float32))
+        t_logits = jnp.asarray(rng.randn(4, n).astype(np.float32))
+        res = post_process_predictions(points, score_logits, frame_r, t_logits,
+                                       0.5, -1.0, num_candidates=k)
+        scores = np.asarray(res.scores)
+        assert np.all(np.diff(scores) <= 1e-6)  # descending
+        r = np.asarray(res.poses)[:, :3, :3]
+        eye = np.einsum("nij,nkj->nik", r, r)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (k, 1, 1)), atol=1e-4)
+
+    def test_valid_respects_threshold(self, rng):
+        n = 100
+        points = jnp.asarray(rng.uniform(-0.2, 0.2, (3, n)).astype(np.float32))
+        score_logits = jnp.asarray(np.full((3, n), 0.0, np.float32))
+        # all scores equal 2/3 -> a threshold of 0.9 kills everything
+        frame_r = jnp.asarray(rng.randn(9, n).astype(np.float32))
+        t_logits = jnp.asarray(rng.randn(4, n).astype(np.float32))
+        res = post_process_predictions(points, score_logits, frame_r, t_logits,
+                                       0.9, -1.0, num_candidates=16)
+        assert not np.asarray(res.valid).any()
+
+    def test_importance_sample_prefers_high_scores(self, rng):
+        scores = jnp.asarray(np.linspace(0, 1, 50).astype(np.float32))
+        valid = jnp.ones(50, bool)
+        idx = np.asarray(importance_sample(jax.random.key(0), scores, valid,
+                                           200))
+        # exp(5x) strongly favours the top: mean selected index near the top
+        assert idx.mean() > 35
+
+    def test_importance_sample_skips_invalid(self, rng):
+        scores = jnp.asarray(np.ones(20, np.float32))
+        valid = jnp.zeros(20, bool).at[7].set(True)
+        idx = np.asarray(importance_sample(jax.random.key(1), scores, valid, 8))
+        assert (idx == 7).all()
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+def test_detector_end_to_end_tiny(tmp_path, rng):
+    """End-to-end smoke test on the bundled real scene with a tiny random
+    model (the reference's install check, grasp_proposal_test.py:36-91)."""
+    import yaml
+    cfg = {
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": 512,
+            "NUM_CENTROIDS": "(128, 32)",
+            "RADIUS": "(0.02, 0.08)",
+            "NUM_NEIGHBOURS": "(16, 16)",
+            "SA_CHANNELS": "((16, 32), (32, 64))",
+            "FP_CHANNELS": "((32, 32), (32, 32))",
+            "NUM_FP_NEIGHBOURS": "(3, 3)",
+            "SEG_CHANNELS": "(32,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = tmp_path / "tiny.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    from s4g_tpu.pipeline.detector import GraspDetector
+    det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=8192, num_candidates=64)
+
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)  # (n, 3)
+    poses, scores = det.detect(cloud, num_selected=5, score_threshold=0.0,
+                               verticalness_threshold=-1.0,
+                               collision_check=True, debug=False)
+    assert poses.ndim == 3 and poses.shape[1:] == (4, 4)
+    assert len(poses) == len(scores)
+    if len(poses):
+        r = poses[:, :3, :3]
+        eye = np.einsum("nij,nkj->nik", r, r)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(r), 1, 1)),
+                                   atol=1e-3)
