@@ -64,16 +64,19 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
     # Padded tail can never be selected: its min-distance stays at -1.
     valid = lin < num_points
     min_d_ref[:] = jnp.where(valid, jnp.inf, -1.0).astype(min_d_ref.dtype)
-    out_ref[0, 0] = 0
+    # Mosaic cannot store scalars to VMEM; all output writes are masked
+    # vector writes against this slot iota.
+    out_iota = lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[:] = jnp.zeros_like(out_ref)
 
     big = jnp.int32(rows * _LANES)
 
     def body(i, cur):
-        r = cur // _LANES
-        c = cur % _LANES
-        cx = x_ref[r, c]
-        cy = y_ref[r, c]
-        cz = z_ref[r, c]
+        # Scalar-free current-point read: masked reduction over the planes.
+        sel = lin == cur
+        cx = jnp.max(jnp.where(sel, x_ref[:], -jnp.inf))
+        cy = jnp.max(jnp.where(sel, y_ref[:], -jnp.inf))
+        cz = jnp.max(jnp.where(sel, z_ref[:], -jnp.inf))
         dx = x_ref[:] - cx
         dy = y_ref[:] - cy
         dz = z_ref[:] - cz
@@ -83,10 +86,10 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
         max_val = jnp.max(md)
         # Lowest linear index attaining the max (deterministic tie-break).
         nxt = jnp.min(jnp.where(md == max_val, lin, big))
-        out_ref[0, i] = nxt
+        out_ref[:] = jnp.where(out_iota == i, nxt, out_ref[:])
         return nxt
 
-    lax.fori_loop(1, num_centroids, body, jnp.int32(0))
+    lax.fori_loop(1, num_centroids, body, jnp.int32(0), unroll=False)
 
 
 def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -> Array:
@@ -100,7 +103,7 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
         _fps_kernel, num_points=n, num_centroids=num_centroids)
 
     def squeeze_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref):
-        kernel(x_ref.at[0, 0], y_ref.at[0, 0], z_ref.at[0, 0], out_ref,
+        kernel(x_ref.at[0, 0], y_ref.at[0, 0], z_ref.at[0, 0], out_ref.at[0],
                min_d_ref)
 
     out = pl.pallas_call(
@@ -110,13 +113,13 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
             pl.BlockSpec((1, 1, rows, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] * 3,
-        out_specs=pl.BlockSpec((1, num_centroids), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, num_centroids), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, num_centroids), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, num_centroids), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)],
         interpret=interpret,
     )(planes[:, 0:1], planes[:, 1:2], planes[:, 2:3])
-    return out
+    return out[:, 0]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
