@@ -1,0 +1,157 @@
+"""End-to-end training-data generation drivers.
+
+The reference splits this across CLI scripts (generate_simulation.py,
+cycles_render.py, generate_scene.py, generate_fast_training_data.py,
+generate_valid_direction.py, merge_data_and_direction.py); here one module
+exposes each stage plus `generate_end_to_end` running the whole factory:
+
+  scene sim (MuJoCo) -> depth render (4 views) -> per-object Darboux grading
+  -> scene composition -> per-view label transfer -> movability -> merge.
+
+Every stage is resumable by idempotence like the reference drivers
+(generate_simulation.py:41-44 etc.): existing artifacts are skipped.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .grading import darboux_frames, estimate_normals, grade_frames
+from .label_transfer import generate_view_labels
+from .merge import build_direction_table, merge_scene
+from .movability import DirectionGenerator
+from .render import CAMERA_POSE, camera_pose_matrix, render_scene_views, table_mesh
+from .scene_compose import compose_scene
+from .scene_sim import ObjectSpec, TableEnv
+
+
+def sample_mesh_surface(vertices: np.ndarray, triangles: np.ndarray,
+                        num_points: int, rng: np.random.RandomState
+                        ) -> np.ndarray:
+    """Uniform surface sampling (replaces Open3D sample_points_uniformly,
+    reference data_object_darboux_generator.py:41)."""
+    v0 = vertices[triangles[:, 0]]
+    v1 = vertices[triangles[:, 1]]
+    v2 = vertices[triangles[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    prob = areas / areas.sum()
+    tri = rng.choice(len(triangles), num_points, p=prob)
+    r1, r2 = rng.rand(num_points, 1), rng.rand(num_points, 1)
+    sqrt_r1 = np.sqrt(r1)
+    return ((1 - sqrt_r1) * v0[tri] + sqrt_r1 * (1 - r2) * v1[tri]
+            + sqrt_r1 * r2 * v2[tri]).astype(np.float32)
+
+
+def grade_object(vertices: np.ndarray, triangles: np.ndarray,
+                 num_points: int = 2000, voxel: float = 0.0025,
+                 rng: np.random.RandomState | None = None) -> dict:
+    """Per-object precompute: surface sample -> normals -> Darboux frames ->
+    grade both frame orientations (reference
+    data_object_darboux_generator.py:29-129)."""
+    rng = rng or np.random.RandomState(0)
+    cloud = sample_mesh_surface(vertices, triangles,
+                                max(num_points, len(vertices) * 10), rng)
+    # voxel thinning at 2.5 mm like the reference (:43)
+    from ..pipeline.preprocessing import voxel_downsample
+    cap = 1 << int(np.ceil(np.log2(max(len(cloud), 2))))
+    res = voxel_downsample(jnp.asarray(cloud),
+                           jnp.ones(len(cloud), bool), voxel, cap)
+    cloud = np.asarray(res.points)[np.asarray(res.valid)]
+
+    center = cloud.mean(0)
+    normals = np.asarray(estimate_normals(jnp.asarray(cloud),
+                                          jnp.asarray(center)))
+    # reference flips so normals point INTO the object (:46-48 divides by
+    # -norm after orienting toward the centroid; net effect: outward)
+    normals = -normals
+
+    frames, inv_frames = darboux_frames(jnp.asarray(cloud),
+                                        jnp.asarray(normals))
+    homo = np.concatenate(
+        [cloud.T, np.ones((1, len(cloud)))]).astype(np.float32)
+    search, antipodal = grade_frames(
+        jnp.asarray(cloud), jnp.asarray(normals.T), frames,
+        jnp.asarray(homo), chunk=64)
+    inv_search, inv_antipodal = grade_frames(
+        jnp.asarray(cloud), jnp.asarray(normals.T), inv_frames,
+        jnp.asarray(homo), chunk=64)
+    return {
+        "cloud": cloud, "normal": normals,
+        "frame": np.asarray(frames), "inv_frame": np.asarray(inv_frames),
+        "search_score": np.asarray(search),
+        "inv_search_score": np.asarray(inv_search),
+        "antipodal_score": np.asarray(antipodal),
+        "inv_antipodal_score": np.asarray(inv_antipodal),
+    }
+
+
+def generate_end_to_end(object_meshes: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                        object_specs: List[ObjectSpec], out_dir: str,
+                        scene_id: int = 0, num_views: int = 4,
+                        percentage: float = 1.0, seed: int = 0,
+                        label_capacity: int = 16384,
+                        render_wh: Tuple[int, int] = (640, 480)) -> List[str]:
+    """One scene through the whole factory; returns merged pickle paths."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # 1. object precompute (cached per object)
+    obj_dir = os.path.join(out_dir, "single_object_data")
+    os.makedirs(obj_dir, exist_ok=True)
+    object_data = {}
+    for name, (verts, tris) in object_meshes.items():
+        path = os.path.join(obj_dir, f"{name}.p")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                object_data[name] = pickle.load(f)
+            continue
+        data = grade_object(verts, tris, rng=rng)
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+        object_data[name] = data
+
+    # 2. drop simulation
+    env = TableEnv(object_specs, percentage=percentage, random_seed=seed)
+    pose_dict = env.run()
+    if not pose_dict:
+        return []
+    np.save(os.path.join(out_dir, f"{scene_id}.npy"), pose_dict)
+
+    # 3. scene composition (labels per object)
+    name_to_index = {s.name: i for i, s in enumerate(object_specs)}
+    scene = compose_scene(pose_dict, object_data, name_to_index=name_to_index)
+
+    # 4. render the views
+    views = render_scene_views(
+        {n: object_meshes[n] for n in pose_dict}, pose_dict,
+        table_mesh=table_mesh(), rng=rng,
+        camera_poses=CAMERA_POSE[:num_views],
+        width=render_wh[0], height=render_wh[1])
+
+    # 5. per-view label transfer
+    training = []
+    for clean, noisy, cam in views:
+        training.append(generate_view_labels(noisy, clean, cam, scene,
+                                             capacity=label_capacity))
+
+    # 6. movability
+    direction = DirectionGenerator(env.xml, pose_dict).run()
+    table = build_direction_table(direction, name_to_index,
+                                  len(object_specs))
+
+    # 7. merge
+    merged_paths = []
+    merge_dir = os.path.join(out_dir, "merged_data")
+    os.makedirs(merge_dir, exist_ok=True)
+    for v, data in enumerate(training):
+        out = merge_scene(data, table, v)
+        path = os.path.join(merge_dir, f"{scene_id}_view_{v}.p")
+        with open(path, "wb") as f:
+            pickle.dump(out, f)
+        merged_paths.append(path)
+    return merged_paths

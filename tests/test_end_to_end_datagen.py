@@ -1,0 +1,70 @@
+"""Full data-generation factory on a tiny synthetic scene: sim -> render ->
+grade -> label transfer -> movability -> merge -> train one step (the
+reference pipeline end-to-end, BASELINE config #5)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("mujoco")
+
+from s4g_tpu.datagen.generate import generate_end_to_end, grade_object
+from s4g_tpu.datagen.scene_sim import ObjectSpec
+from test_datagen_pipeline import _box_mesh
+
+
+@pytest.mark.slow
+def test_generate_end_to_end_and_train(tmp_path):
+    meshes = {
+        "boxA": _box_mesh(0.028),
+        "boxB": _box_mesh(0.022),
+    }
+    specs = [
+        ObjectSpec(name="boxA", geom_type="box", size="0.028 0.028 0.028"),
+        ObjectSpec(name="boxB", geom_type="box", size="0.022 0.022 0.022"),
+    ]
+    merged = generate_end_to_end(meshes, specs, str(tmp_path), scene_id=0,
+                                 num_views=2, percentage=1.1, seed=3,
+                                 label_capacity=8192, render_wh=(320, 240))
+    assert len(merged) == 2
+
+    import pickle
+    with open(merged[0], "rb") as f:
+        data = pickle.load(f)
+    for key in ("point_cloud", "valid_index", "valid_frame", "search_score",
+                "antipodal_score", "objects_label", "direction"):
+        assert key in data, key
+    assert data["direction"].shape == (3, 5)  # 2 objects + table row
+
+    # at least one view should find labeled grasps on graspable boxes
+    total_grasps = 0
+    for path in merged:
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        total_grasps += len(d["valid_index"])
+    assert total_grasps > 0
+
+    # the merged pickles feed the trainer end-to-end
+    from s4g_tpu.train.dataset import SceneGraspDataset
+    import os
+    ds = SceneGraspDataset(os.path.dirname(merged[0]), num_points=256,
+                           score_classes=3, batch_size=2,
+                           num_frame_points=32, seed=0)
+    batch = next(iter(ds))
+    assert batch["scene_points"].shape == (2, 3, 256)
+    assert np.isfinite(batch["scene_points"]).all()
+    assert batch["scene_movable_labels"].max() <= 1.0
+
+
+def test_grade_object_produces_valid_fields():
+    verts, tris = _box_mesh(0.03)
+    data = grade_object(verts, tris, num_points=1500,
+                        rng=np.random.RandomState(0))
+    n = len(data["cloud"])
+    assert data["normal"].shape == (n, 3)
+    assert data["frame"].shape == (n, 3, 3)
+    assert data["search_score"].shape[0] == n
+    # outward normals: positive dot with position (centered box)
+    center = data["cloud"].mean(0)
+    dots = np.sum(data["normal"] * (data["cloud"] - center), axis=1)
+    assert (dots > 0).mean() > 0.9
+    assert data["search_score"].max() > 0
