@@ -1,0 +1,173 @@
+"""Mesh preparation utilities: loading, scaling, convex decomposition.
+
+Re-design of the reference's object pipeline tools (reference:
+render/plain_vhacd.py, render/wrl_to_stl.py, render/scale_objects.py):
+minimal STL/OBJ loaders (no Open3D/trimesh), per-object scale variants
+(name#k convention), dense scene PLY with label colors
+(data_generator/point_cloud_scene_generator.py), and a V-HACD subprocess
+wrapper gated on the binary being present.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import subprocess
+from typing import Dict, Tuple
+
+import numpy as np
+
+Mesh = Tuple[np.ndarray, np.ndarray]
+
+
+def load_stl(path: str) -> Mesh:
+    """Binary or ascii STL -> (vertices (V, 3), triangles (T, 3))."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        if head == b"solid" and b"facet" in f.read(512):
+            f.seek(0)
+            return _load_stl_ascii(f.read().decode("ascii", "ignore"))
+        f.seek(80)
+        (count,) = struct.unpack("<I", f.read(4))
+        data = np.frombuffer(f.read(count * 50), dtype=np.uint8)
+        data = data.reshape(count, 50)
+        tris = data[:, 12:48].copy().view("<f4").reshape(count, 3, 3)
+    return _dedupe(tris.astype(np.float64))
+
+
+def _load_stl_ascii(text: str) -> Mesh:
+    coords = []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("vertex"):
+            coords.append([float(x) for x in line.split()[1:4]])
+    tris = np.asarray(coords).reshape(-1, 3, 3)
+    return _dedupe(tris)
+
+
+def _dedupe(tri_verts: np.ndarray) -> Mesh:
+    flat = tri_verts.reshape(-1, 3)
+    uniq, inverse = np.unique(flat.round(9), axis=0, return_inverse=True)
+    return uniq, inverse.reshape(-1, 3).astype(np.int64)
+
+
+def load_obj(path: str) -> Mesh:
+    """Minimal OBJ loader (v/f records; polygons fan-triangulated)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def load_wrl(path: str) -> Mesh:
+    """Minimal VRML2 loader (Coordinate point + coordIndex), replacing the
+    reference's blender-based wrl_to_stl.py."""
+    text = open(path).read()
+    verts, faces = [], []
+    import re
+    for block in re.findall(r"point\s*\[(.*?)\]", text, re.S):
+        nums = [float(x) for x in re.findall(r"-?\d+\.?\d*(?:[eE][-+]?\d+)?",
+                                             block)]
+        verts.extend([nums[i:i + 3] for i in range(0, len(nums) - 2, 3)])
+    for block in re.findall(r"coordIndex\s*\[(.*?)\]", text, re.S):
+        nums = [int(float(x)) for x in
+                re.findall(r"-?\d+", block)]
+        poly = []
+        for n in nums:
+            if n == -1:
+                for k in range(1, len(poly) - 1):
+                    faces.append([poly[0], poly[k], poly[k + 1]])
+                poly = []
+            else:
+                poly.append(n)
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def load_mesh(path: str) -> Mesh:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".stl":
+        return load_stl(path)
+    if ext == ".obj":
+        return load_obj(path)
+    if ext == ".wrl":
+        return load_wrl(path)
+    if ext == ".ply":
+        from ..utils.io_ply import read_ply_points
+        raise ValueError("PLY meshes unsupported; convert to STL/OBJ")
+    raise ValueError(f"unsupported mesh format {ext!r}")
+
+
+def save_stl(path: str, vertices: np.ndarray, triangles: np.ndarray) -> None:
+    """Binary STL writer (replaces the blender exporter)."""
+    tri = vertices[triangles]                     # (T, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n /= np.clip(np.linalg.norm(n, axis=1, keepdims=True), 1e-12, None)
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(triangles)))
+        rec = np.zeros((len(triangles), 50), np.uint8)
+        payload = np.ascontiguousarray(np.concatenate(
+            [n[:, None, :], tri], axis=1).astype("<f4"))     # (T, 4, 3)
+        rec[:, :48] = payload.reshape(len(triangles), 12).view(np.uint8)
+        f.write(rec.tobytes())
+
+
+def scale_variants(vertices: np.ndarray, scales=(1.0, 0.85, 0.7)
+                   ) -> Dict[int, np.ndarray]:
+    """Per-object scale variants (the reference's name#k convention,
+    render/scale_objects.py)."""
+    return {k: vertices * s for k, s in enumerate(scales)}
+
+
+def vhacd_decompose(input_path: str, output_dir: str,
+                    binary: str = "vhacd") -> list:
+    """Convex decomposition via the V-HACD CLI (reference
+    render/plain_vhacd.py wraps the same binary).  Returns the produced
+    part paths; raises FileNotFoundError when the binary is absent."""
+    os.makedirs(output_dir, exist_ok=True)
+    name = os.path.splitext(os.path.basename(input_path))[0]
+    out = os.path.join(output_dir, f"{name}_vhacd.obj")
+    subprocess.run([binary, "--input", input_path, "--output", out],
+                   check=True, capture_output=True)
+    return [out]
+
+
+def scene_ply(object_meshes: Dict[str, Mesh],
+              pose_dict: Dict[str, np.ndarray], path: str,
+              samples_per_object: int = 4000,
+              rng: np.random.RandomState | None = None,
+              table_height: float = 0.75,
+              table_half=(0.38, 0.345)) -> np.ndarray:
+    """Dense colored scene cloud with label-encoding colors (reference:
+    data_generator/point_cloud_scene_generator.py:22-106 +
+    dataset_config color hashing).  Returns the (N, 3) cloud."""
+    from .dataset_config import NAME_TO_COLOR, TABLE_COLOR, label_to_color
+    from .generate import sample_mesh_surface
+    from .scene_compose import quat_to_mat
+    from ..utils.io_ply import write_ply_points
+
+    rng = rng or np.random.RandomState(0)
+    pts, colors = [], []
+    for i, (name, pose) in enumerate(pose_dict.items()):
+        verts, tris = object_meshes[name]
+        cloud = sample_mesh_surface(verts, tris, samples_per_object, rng)
+        rot = quat_to_mat(np.asarray(pose[3:7], np.float64))
+        pts.append(cloud @ rot.T + pose[0:3])
+        color = NAME_TO_COLOR.get(name, label_to_color(np.array([i]))[0])
+        colors.append(np.tile(color, (len(cloud), 1)))
+    # table top
+    tx = rng.uniform(-table_half[0], table_half[0], samples_per_object)
+    ty = rng.uniform(-table_half[1], table_half[1], samples_per_object)
+    pts.append(np.stack([tx, ty, np.full_like(tx, table_height)], axis=1))
+    colors.append(np.tile(TABLE_COLOR, (samples_per_object, 1)))
+
+    cloud = np.concatenate(pts).astype(np.float32)
+    write_ply_points(path, cloud, colors=np.concatenate(colors))
+    return cloud

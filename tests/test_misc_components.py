@@ -1,0 +1,134 @@
+"""Tests for the completeness-tier components: mesh tools, scene PLY,
+GraspEnv, robot client payloads, profiling helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from s4g_tpu.datagen.mesh_tools import (load_mesh, load_obj, load_stl,
+                                        save_stl, scale_variants, scene_ply)
+from s4g_tpu.robot.grasp_client import (EE_TO_HAND, HAND_TO_EE, GraspClient,
+                                        mat_pose_to_pose_stamped)
+from s4g_tpu.robot.vision_client import VisionClient
+from s4g_tpu.utils.profiling import StageTimer, append_timing, timed_scalar
+from test_datagen_pipeline import _box_mesh
+
+
+class TestMeshTools:
+    def test_stl_roundtrip(self, tmp_path):
+        verts, tris = _box_mesh(0.03)
+        path = str(tmp_path / "box.stl")
+        save_stl(path, verts, tris)
+        v2, t2 = load_stl(path)
+        assert t2.shape == (12, 3)
+        # vertex sets match
+        a = np.sort(verts.round(6).view([("", float)] * 3).ravel())
+        b = np.sort(v2.round(6).view([("", float)] * 3).ravel())
+        np.testing.assert_array_equal(a, b)
+
+    def test_obj_loader(self, tmp_path):
+        path = tmp_path / "tri.obj"
+        path.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3 4\n")
+        v, f = load_obj(str(path))
+        assert v.shape == (4, 3)
+        assert f.shape == (2, 3)  # quad fan-triangulated
+
+    def test_load_mesh_dispatch(self, tmp_path):
+        verts, tris = _box_mesh(0.01)
+        p = str(tmp_path / "m.stl")
+        save_stl(p, verts, tris)
+        v, f = load_mesh(p)
+        assert len(f) == 12
+
+    def test_scale_variants(self):
+        verts, _ = _box_mesh(0.03)
+        variants = scale_variants(verts)
+        assert set(variants) == {0, 1, 2}
+        np.testing.assert_allclose(variants[1], verts * 0.85)
+
+    def test_scene_ply(self, tmp_path):
+        meshes = {"boxA": _box_mesh(0.02)}
+        poses = {"boxA": np.array([0.0, 0.0, 0.78, 1, 0, 0, 0])}
+        path = str(tmp_path / "scene.ply")
+        cloud = scene_ply(meshes, poses, path, samples_per_object=500,
+                          rng=np.random.RandomState(0))
+        assert os.path.exists(path)
+        assert len(cloud) == 1000  # object + table samples
+
+
+@pytest.mark.slow
+def test_grasp_env_lift():
+    pytest.importorskip("mujoco")
+    from s4g_tpu.datagen.grasp_env import GraspEnv
+    from s4g_tpu.datagen.scene_sim import ObjectSpec
+
+    env = GraspEnv([ObjectSpec(name="box0", size="0.02 0.02 0.04")],
+                   percentage=1.1, random_seed=5)
+    poses = env.prepare()
+    assert "box0" in poses
+    obj = poses["box0"]
+    # grasp straight down onto the box: x approach = -z
+    pose = np.eye(4)
+    pose[:3, 0] = [0, 0, -1]
+    pose[:3, 1] = [0, 1, 0]
+    pose[:3, 2] = [1, 0, 0]
+    pose[:3, 3] = obj[:3] + np.array([0, 0, 0.06])
+    result = env.evaluate_single_grasp(pose)
+    assert "success" in result and "lift_heights" in result
+    # a miss far away must fail
+    miss = pose.copy()
+    miss[:3, 3] = [0.3, 0.3, 1.0]
+    result_miss = env.evaluate_single_grasp(miss)
+    assert not result_miss["success"]
+
+
+class TestRobotClients:
+    def test_calibration_roundtrip(self):
+        np.testing.assert_allclose(HAND_TO_EE @ EE_TO_HAND, np.eye(4),
+                                   atol=1e-8)
+
+    def test_pose_stamped_payload(self):
+        pose = np.eye(4)
+        pose[:3, 3] = [0.1, 0.2, 0.3]
+        msg = mat_pose_to_pose_stamped(pose, "cam")
+        assert msg["header"]["frame_id"] == "cam"
+        assert msg["pose"]["position"] == {"x": 0.1, "y": 0.2, "z": 0.3}
+        assert abs(msg["pose"]["orientation"]["w"] - 1.0) < 1e-9
+
+    def test_grasp_request_applies_calibration(self):
+        client = GraspClient()
+        pose = np.eye(4)[None]
+        req = client.build_request(pose)
+        assert len(req["grasp"]) == 1
+        pos = req["grasp"][0]["pose_stamped"]["pose"]["position"]
+        np.testing.assert_allclose([pos["x"], pos["y"], pos["z"]],
+                                   HAND_TO_EE[:3, 3], atol=1e-9)
+
+    def test_vision_parse(self):
+        res = {"points": [{"x": 1, "y": 2, "z": 3}, {"x": 4, "y": 5, "z": 6}]}
+        cloud = VisionClient.parse_cloud_response(res)
+        assert cloud.shape == (2, 3)
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        timer = StageTimer()
+        timer.stage("preprocess")
+        timer.stage("predict")
+        assert set(timer.stages) == {"preprocess", "predict"}
+        assert timer.overall() >= 0
+
+    def test_append_timing(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        append_timing("inference_time_ours.txt", 12.3456)
+        append_timing("inference_time_ours.txt", 7.0)
+        lines = open("inference_time_ours.txt").read().splitlines()
+        assert lines == ["12.3456", "7.0000"]
+
+    def test_timed_scalar(self):
+        import jax.numpy as jnp
+        import jax
+        f = jax.jit(lambda x: jnp.sum(x * 2))
+        dt = timed_scalar(f, jnp.ones(128), iters=3)
+        assert dt > 0
