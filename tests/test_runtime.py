@@ -1,0 +1,108 @@
+"""Native runtime tests: C++ host ops vs numpy fallbacks vs the JAX ops,
+and the async prefetching loaders."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from s4g_tpu.runtime.host_ops import (native_available, nearest_neighbor_match,
+                                      radius_outlier_mask,
+                                      voxel_downsample_trace)
+from s4g_tpu.runtime.loader import AsyncSceneLoader, FileBackedSceneLoader
+
+REFERENCE_SCENE = "/root/reference/inference/2638_view_0.p"
+
+
+def test_native_library_builds():
+    assert native_available(), "g++ toolchain expected in this image"
+
+
+class TestVoxelTrace:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(0, 0.1, (500, 3)).astype(np.float32)
+        out_pts, trace = voxel_downsample_trace(pts, 0.02)
+        # brute force voxel map
+        origin = pts.min(0)
+        coords = np.floor((pts - origin) / 0.02).astype(np.int64)
+        cells = {}
+        for i, c in enumerate(coords):
+            cells.setdefault(tuple(c), []).append(i)
+        assert len(out_pts) == len(cells)
+        want = {tuple(np.round(np.mean(pts[v], 0), 5)): max(v)
+                for v in cells.values()}
+        got = {tuple(np.round(p, 5)): t for p, t in zip(out_pts, trace)}
+        assert got == want
+
+    def test_trace_points_into_original(self):
+        rng = np.random.RandomState(1)
+        pts = rng.uniform(0, 0.05, (200, 3)).astype(np.float32)
+        out_pts, trace = voxel_downsample_trace(pts, 0.01)
+        assert (trace >= 0).all() and (trace < 200).all()
+        # traced point lies in the same voxel as the mean
+        origin = pts.min(0)
+        c_mean = np.floor((out_pts - origin) / 0.01).astype(np.int64)
+        c_src = np.floor((pts[trace] - origin) / 0.01).astype(np.int64)
+        np.testing.assert_array_equal(c_mean, c_src)
+
+
+class TestRadiusOutlier:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(2)
+        pts = np.concatenate([
+            rng.normal(0, 0.002, (60, 3)),
+            np.array([[1.0, 1, 1], [2, 2, 2]])]).astype(np.float32)
+        keep = radius_outlier_mask(pts, 0.02, 10)
+        d2 = np.sum((pts[:, None] - pts[None]) ** 2, -1)
+        want = (d2 < 0.02 ** 2).sum(1) >= 10
+        np.testing.assert_array_equal(keep, want)
+
+
+class TestNNMatch:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(3)
+        ref = rng.uniform(0, 0.2, (300, 3)).astype(np.float32)
+        query = ref[:50] + rng.normal(0, 0.001, (50, 3)).astype(np.float32)
+        idx, dist2 = nearest_neighbor_match(query, ref, 0.01)
+        d2 = np.sum((query[:, None] - ref[None]) ** 2, -1)
+        want = d2.argmin(1)
+        matched = idx >= 0
+        assert matched.all()
+        np.testing.assert_array_equal(idx, want)
+
+    def test_out_of_range_gives_minus_one(self):
+        ref = np.zeros((5, 3), np.float32)
+        query = np.full((3, 3), 10.0, np.float32)
+        idx, dist2 = nearest_neighbor_match(query, ref, 0.05)
+        assert (idx == -1).all()
+        assert (dist2 == -1).all()
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+class TestLoaders:
+    def _dataset(self, tmp_path, n_files=6, batch=2):
+        from s4g_tpu.train.dataset import SceneGraspDataset
+        data = dict(np.load(REFERENCE_SCENE, allow_pickle=True))
+        d = tmp_path / "data"
+        d.mkdir()
+        for i in range(n_files):
+            with open(d / f"{i}_view_0.p", "wb") as f:
+                pickle.dump(data, f)
+        return SceneGraspDataset(str(d), num_points=128, batch_size=batch,
+                                 num_frame_points=16, seed=0)
+
+    def test_async_loader_yields_all(self, tmp_path):
+        ds = self._dataset(tmp_path)
+        batches = list(AsyncSceneLoader(ds, num_workers=2, prefetch=2))
+        assert len(batches) == len(ds)
+        assert batches[0]["scene_points"].shape == (2, 3, 128)
+
+    def test_file_backed_loader(self, tmp_path):
+        ds = self._dataset(tmp_path)
+        batches = list(FileBackedSceneLoader(ds, num_workers=3))
+        assert len(batches) == len(ds)
+        for b in batches:
+            assert np.isfinite(b["scene_points"]).all()
