@@ -166,6 +166,7 @@ class SceneGradeResult(NamedTuple):
     objects_label: Array    # (C, L, T) int32 (num_objects == table default)
     frames: Array           # (C, L, T, 4, 4) local_search -> global poses
     valid: Array            # (C,) any pose valid and score floors met
+    close_counts: Array     # (C, L, T) close-region populations vs the scene
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7))
@@ -255,15 +256,17 @@ def grade_against_scene(points: Array, frames: Array, pre_search: Array,
         label = jnp.where(pose_valid, lab_min, jnp.int32(-1))
         return (pose_valid.reshape(cc, NUM_L, NUM_T),
                 label.reshape(cc, NUM_L, NUM_T),
-                pose_l2g.reshape(cc, NUM_L, NUM_T, 4, 4))
+                pose_l2g.reshape(cc, NUM_L, NUM_T, 4, 4),
+                count.reshape(cc, NUM_L, NUM_T))
 
     pts_chunks = pts.reshape(num_chunks, chunk, 3)
     frs_chunks = frs.reshape(num_chunks, chunk, 3, 3)
-    pose_valid, labels, pose_l2g = lax.map(per_chunk,
-                                           (pts_chunks, frs_chunks))
+    pose_valid, labels, pose_l2g, counts = lax.map(per_chunk,
+                                                   (pts_chunks, frs_chunks))
     pose_valid = pose_valid.reshape(-1, NUM_L, NUM_T)[:c]
     labels = labels.reshape(-1, NUM_L, NUM_T)[:c]
     pose_l2g = pose_l2g.reshape(-1, NUM_L, NUM_T, 4, 4)[:c]
+    counts = counts.reshape(-1, NUM_L, NUM_T)[:c]
 
     # zero frames never produce valid poses
     frame_ok = jnp.mean(jnp.abs(frames), axis=(1, 2)) > 1e-6
@@ -273,7 +276,9 @@ def grade_against_scene(points: Array, frames: Array, pre_search: Array,
     antipodal = jnp.where(pose_valid, pre_antipodal, 0.0)
     valid = ((jnp.max(search, axis=(1, 2)) >= VALID_SEARCH_MIN)
              & (jnp.max(antipodal, axis=(1, 2)) >= VALID_ANTIPODAL_MIN))
-    return SceneGradeResult(search, antipodal, labels, pose_l2g, valid)
+    close_counts = jnp.where(pose_valid, counts, 0).astype(jnp.float32)
+    return SceneGradeResult(search, antipodal, labels, pose_l2g, valid,
+                            close_counts)
 
 
 def generate_view_labels(noise_points: np.ndarray, clean_points: np.ndarray,
@@ -340,4 +345,92 @@ def generate_view_labels(noise_points: np.ndarray, clean_points: np.ndarray,
         "antipodal_score": np.asarray(graded.antipodal_score)[valid],
         "objects_label": np.asarray(graded.objects_label)[valid],
         "view_normals": np.asarray(match.normals),
+    }
+
+
+def generate_view_labels_online(noise_points: np.ndarray,
+                                camera_pose: np.ndarray, scene: dict,
+                                capacity: int = 32768, chunk: int = 8) -> dict:
+    """Online variant: Darboux frames estimated on the VIEW cloud itself
+    instead of matched from precomputed scene frames (reference:
+    pcd_classes/torch_single_view_point_cloud.py:14-358).  Per-pose scores
+    come from the scene grading's close-region populations, and the antipodal
+    term is evaluated against the labeled scene via eval_frames.
+    """
+    from .grading import darboux_frames, estimate_normals
+    from ..pipeline.eval_cloud import eval_frames
+    from ..utils.math_utils import batch_transformation_inv
+
+    camera_pose = np.asarray(camera_pose, np.float64)
+    cam_inv = np.linalg.inv(camera_pose).astype(np.float32)
+    cam_loc = camera_pose[:3, 3].astype(np.float32)
+
+    trace = processing_and_trace(jnp.asarray(noise_points, jnp.float32),
+                                 capacity=capacity)
+    keep = np.asarray(trace.valid)
+    view_points = np.asarray(trace.points)[keep]
+
+    normals = np.asarray(estimate_normals(jnp.asarray(view_points),
+                                          jnp.asarray(cam_loc)))
+    frames_j, _ = darboux_frames(jnp.asarray(view_points),
+                                 jnp.asarray(normals))
+    frames = np.array(frames_j)  # writable copy
+    # approach INTO the surface: flip frames agreeing with the camera-facing
+    # normal (same rule as the precomputed path)
+    flip = np.sum(normals * frames[:, :, 0], axis=1) > 0
+    frames[flip, :, 0:2] *= -1.0
+
+    candidate = ((np.abs(frames).mean(axis=(1, 2)) > 1e-6)
+                 & (view_points[:, 2] > SAMPLE_REGION))
+    cand_idx = np.nonzero(candidate)[0]
+    if len(cand_idx) == 0:
+        return {"point_cloud": (cam_inv[:3, :3] @ view_points.T
+                                + cam_inv[:3, 3:4]).astype(np.float32),
+                "valid_index": np.zeros(0, np.int64),
+                "valid_frame": np.zeros((0, NUM_L, NUM_T, 4, 4), np.float32),
+                "search_score": np.zeros((0, NUM_L, NUM_T), np.float32),
+                "antipodal_score": np.zeros((0, NUM_L, NUM_T), np.float32),
+                "objects_label": np.zeros((0, NUM_L, NUM_T), np.int32),
+                "view_normals": normals}
+
+    # antipodal per candidate against the labeled scene
+    poses = np.tile(np.eye(4, dtype=np.float32), (len(cand_idx), 1, 1))
+    poses[:, :3, :3] = frames[cand_idx]
+    poses[:, :3, 3] = view_points[cand_idx]
+    g2l = np.asarray(batch_transformation_inv(jnp.asarray(poses)))
+    ev = eval_frames(jnp.asarray(g2l),
+                     jnp.asarray(scene["cloud"], jnp.float32),
+                     jnp.asarray(scene["normal"], jnp.float32),
+                     jnp.asarray(scene["label"], jnp.int32))
+    antipodal = np.asarray(ev.antipodal_score)
+
+    scene_homo = np.concatenate(
+        [scene["cloud"].T, np.ones((1, len(scene["cloud"])))]).astype(
+        np.float32)
+    pre = np.broadcast_to(antipodal[:, None, None],
+                          (len(cand_idx), NUM_L, NUM_T)).copy()
+    # pre_search is a placeholder; the true search score for the online
+    # variant is the scene close-region count returned by the grading.
+    graded = grade_against_scene(
+        jnp.asarray(view_points[cand_idx]),
+        jnp.asarray(frames[cand_idx]),
+        jnp.asarray(pre) + VALID_SEARCH_MIN,
+        jnp.asarray(pre),
+        jnp.asarray(scene_homo),
+        jnp.asarray(scene["label"], jnp.int32),
+        chunk=chunk)
+
+    valid = np.asarray(graded.valid)
+    sel = cand_idx[valid]
+    frames_cam = np.einsum("ij,gltjk->gltik", cam_inv,
+                           np.asarray(graded.frames)[valid])
+    cloud_cam = cam_inv[:3, :3] @ view_points.T + cam_inv[:3, 3:4]
+    return {
+        "point_cloud": cloud_cam.astype(np.float32),
+        "valid_index": sel.astype(np.int64),
+        "valid_frame": frames_cam.astype(np.float32),
+        "search_score": np.asarray(graded.close_counts)[valid],
+        "antipodal_score": np.asarray(graded.antipodal_score)[valid],
+        "objects_label": np.asarray(graded.objects_label)[valid],
+        "view_normals": normals,
     }

@@ -120,3 +120,23 @@ def test_full_view_label_generation(scene):
     assert sample["scene_points"].shape == (3, 512)
     assert sample["num_frame_points"] == min(g, 512)
     assert sample["scene_score"].max() <= 1.0
+
+
+def test_online_view_label_generation(scene):
+    """Online variant: frames estimated on the view cloud itself
+    (reference torch_single_view_point_cloud.py)."""
+    from s4g_tpu.datagen.label_transfer import generate_view_labels_online
+    rng = np.random.RandomState(6)
+    clean = scene["cloud"].astype(np.float32)
+    noise = clean * (1.0 + rng.randn(*clean.shape).astype(np.float32) * 0.001)
+    cam_pose = np.eye(4)
+    cam_pose[:3, 3] = [0.0, 0.0, 2.0]
+    data = generate_view_labels_online(noise, cam_pose, scene,
+                                       capacity=4096, chunk=8)
+    g = len(data["valid_index"])
+    assert data["valid_frame"].shape == (g, 4, 12, 4, 4)
+    assert data["search_score"].shape == (g, 4, 12)
+    assert g > 0
+    # search scores are close-region populations: integral-valued, >= 10
+    nz = data["search_score"][data["search_score"] > 0]
+    assert nz.min() >= 10
