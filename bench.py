@@ -40,9 +40,25 @@ def timed_loop(fn, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def _select_fps_impl():
+    """Probe the Pallas FPS kernel; fall back to the XLA loop if the Mosaic
+    compiler is unavailable (e.g. remote-compile helper outage)."""
+    import os
+    import jax.numpy as jnp
+    from s4g_tpu.ops.sampling import farthest_point_sample
+    try:
+        probe = jnp.zeros((1, 3, 25600), jnp.float32)
+        _sync_scalar(farthest_point_sample(probe, 5120,
+                                           impl="pallas").sum())
+    except Exception:
+        os.environ["S4G_FPS_IMPL"] = "xla"
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _select_fps_impl()
 
     from s4g_tpu.configs.config import load_cfg_from_file
     from s4g_tpu.models import build_model

@@ -88,9 +88,12 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     prefix = jnp.take_along_axis(excl, b_c, axis=-1)      # (M, k)
     local_t = target[None, :] - prefix                    # rank within block
 
-    lcum = jnp.cumsum(mask3.astype(jnp.int32), axis=-1)   # (M, nb, 128)
-    blk = jnp.take_along_axis(lcum, b_c[..., None], axis=1)  # (M, k, 128)
-    within = jnp.sum(blk < local_t[..., None], axis=-1, dtype=jnp.int32)
+    # Gather the RAW mask blocks first (a cheap major-dim row gather of
+    # (M, k, 128)), then cumsum only the gathered slice — ~12x less HBM
+    # traffic than cumsumming the full (M, nb, 128) tensor.
+    blk_mask = jnp.take_along_axis(mask3, b_c[..., None], axis=1)
+    blk_cum = jnp.cumsum(blk_mask.astype(jnp.int32), axis=-1)  # (M, k, 128)
+    within = jnp.sum(blk_cum < local_t[..., None], axis=-1, dtype=jnp.int32)
     idx = b_c * blk_w + within
 
     slot = lax.broadcasted_iota(jnp.int32, idx.shape, idx.ndim - 1)
@@ -102,7 +105,7 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def ball_query(points: Array, centroids: Array, radius: float,
-               num_neighbours: int, chunk: int = 1024):
+               num_neighbours: int, chunk: int = 512):
     """Ball query with reference-CUDA semantics.
 
     Args:
@@ -138,7 +141,7 @@ def ball_query(points: Array, centroids: Array, radius: float,
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
-             chunk: int = 4096):
+             chunk: int = 2048):
     """3 nearest neighbours of each query point among the key points.
 
     Args:

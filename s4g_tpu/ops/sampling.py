@@ -137,7 +137,12 @@ def farthest_point_sample(points: Array, num_centroids: int,
         (B, M) int32 centroid indices; index 0 is always first.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        import os
+        override = os.environ.get("S4G_FPS_IMPL")
+        if override:
+            impl = override
+        else:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return _fps_xla(points, num_centroids)
     if impl == "pallas":
