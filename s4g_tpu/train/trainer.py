@@ -27,6 +27,7 @@ from ..parallel.mesh import (batch_sharding, make_mesh, replicate_sharding,
                              shard_batch)
 from ..utils.checkpoint import Checkpointer
 from ..utils.logger import MetricLogger, setup_logger
+from .augmentation import build_augmentation
 from .optim import build_optimizer
 from .state import TrainState
 
@@ -40,6 +41,7 @@ class Trainer:
         self.logger = logger or setup_logger("S4G.train", output_dir, "train")
         self.net, self.loss_fn, self.metric_fn = build_model(cfg)
         self.optimizer = build_optimizer(cfg, steps_per_epoch)
+        self.augment = build_augmentation(cfg.TRAIN.AUGMENTATION)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.checkpointer = Checkpointer(output_dir, self.logger)
         self._train_step = None
@@ -76,7 +78,12 @@ class Trainer:
         net, loss_fn, metric_fn, optimizer = (
             self.net, self.loss_fn, self.metric_fn, self.optimizer)
 
+        augment = self.augment
+
         def train_step(state: TrainState, batch: dict, dropout_key):
+            aug_key, dropout_key = jax.random.split(dropout_key)
+            batch = augment(aug_key, batch)
+
             def loss_of(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}
