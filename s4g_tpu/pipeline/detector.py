@@ -207,6 +207,48 @@ class GraspDetector:
         batch = {"scene_points": pre.points.T[None]}
         return self.net.apply(self.variables, batch, train=False)
 
+    def detect_batch(self, clouds: np.ndarray, num_selected: int = 5,
+                     score_threshold: float = 0.7,
+                     verticalness_threshold: float = 0.2,
+                     collision_check: bool = True):
+        """Batched multi-scene inference (BASELINE config #3): one fused TPU
+        program over B preprocessed scenes.
+
+        Args:
+            clouds: (B, n, 3) camera-frame clouds (same n per scene; pad or
+                subsample on the host first).
+
+        Returns:
+            list of (poses (k_i, 4, 4), scores (k_i,)) per scene.
+        """
+        clouds = np.asarray(clouds, np.float32)
+        assert clouds.ndim == 3 and clouds.shape[2] == 3
+        padded, valids = zip(*(self._pad_cloud(c) for c in clouds))
+        padded = jnp.stack(padded)
+        valids = jnp.stack(valids)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, len(clouds))
+
+        batched = jax.jit(jax.vmap(
+            lambda cloud, valid, key: self._detect_fn(
+                self.variables, cloud, valid, key,
+                float(score_threshold), float(verticalness_threshold),
+                num_selected, bool(collision_check)),
+        ))
+        out = jax.tree.map(np.asarray, batched(padded, valids, keys))
+        results = []
+        for i in range(len(clouds)):
+            valid_mask = out["valid"][i]
+            num_valid = int(out["num_valid"][i])
+            if num_valid == 0:
+                results.append((np.zeros((0, 4, 4), np.float32),
+                                np.zeros((0,), np.float32)))
+                continue
+            idx = (np.unique(out["selected"][i]) if num_valid > num_selected
+                   else np.nonzero(valid_mask)[0])
+            results.append((out["poses"][i][idx], out["scores"][i][idx]))
+        return results
+
     def detect(self, cloud_array: np.ndarray,
                cloud_mask: Optional[np.ndarray] = None, num_selected: int = 5,
                score_threshold: float = 0.7, verticalness_threshold: float = 0.2,

@@ -58,7 +58,8 @@ def main():
     data_time = time.time() - tic
 
     fwd = jax.jit(lambda v, b: detector.net.apply(v, b, train=False))
-    predictions = fwd(detector.variables, data_batch)  # compile
+    # warm-up + sync (compile happens here, not inside the timed call)
+    jax.tree.map(np.asarray, fwd(detector.variables, data_batch))
     tic = time.time()
     predictions = jax.tree.map(np.asarray, fwd(detector.variables, data_batch))
     batch_time = time.time() - tic
