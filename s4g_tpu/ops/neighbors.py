@@ -167,27 +167,39 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
 
         def per_chunk(q_c):
             d = pairwise_sqdist(q_c, k_b)                 # (chunk, N2)
-            # Iterative min-extraction (3 passes) instead of a top-k sort:
-            # argmin ties break to the lower index, matching the reference's
-            # strict-< insertion order.
-            idx_list, val_list = [], []
+            # Iterative min-extraction (3 passes); argmin ties break to the
+            # lower index, matching the reference's strict-< insertion order.
+            idx_list = []
             for _ in range(num_neighbors):
-                i = jnp.argmin(d, axis=-1).astype(jnp.int32)   # (chunk,)
+                i = jnp.argmin(d, axis=-1).astype(jnp.int32)
                 idx_list.append(i)
-                val_list.append(jnp.take_along_axis(
-                    d, i[:, None].astype(jnp.int32), axis=-1)[:, 0])
                 d = jnp.where(col == i[:, None], jnp.inf, d)
             idx = jnp.stack(idx_list, axis=-1)            # (chunk, 3)
             # Recompute exact distances for the selected neighbours with the
-            # difference formula (matches the CUDA arithmetic), then re-sort
-            # the 3 candidates so ordering follows the exact values.
+            # difference formula (matches the CUDA arithmetic), then restore
+            # ascending order under the exact values with a 3-element
+            # sorting network (compare on (distance, index) pairs — far
+            # cheaper than argsort on TPU).
             sel = k_t[idx]                                # (chunk, 3, 3) xyz
             diff = sel - q_c.T[:, None, :]
             d_exact = jnp.sum(diff * diff, axis=-1)       # (chunk, 3)
-            order = jnp.argsort(d_exact, axis=-1, stable=True)
-            d_exact = jnp.take_along_axis(d_exact, order, axis=-1)
-            idx = jnp.take_along_axis(idx, order, axis=-1)
-            return idx.astype(jnp.int32), d_exact
+
+            def swap(vals, inds, a, bpos):
+                va, vb = vals[a], vals[bpos]
+                ia, ib = inds[a], inds[bpos]
+                do = (va > vb) | ((va == vb) & (ia > ib))
+                vals[a] = jnp.where(do, vb, va)
+                vals[bpos] = jnp.where(do, va, vb)
+                inds[a] = jnp.where(do, ib, ia)
+                inds[bpos] = jnp.where(do, ia, ib)
+
+            vals = [d_exact[:, s] for s in range(3)]
+            inds = [idx[:, s] for s in range(3)]
+            swap(vals, inds, 0, 1)
+            swap(vals, inds, 1, 2)
+            swap(vals, inds, 0, 1)
+            return (jnp.stack(inds, axis=-1).astype(jnp.int32),
+                    jnp.stack(vals, axis=-1))
 
         return lax.map(per_chunk, q_b)
 
