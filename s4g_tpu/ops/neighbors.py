@@ -85,14 +85,26 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
                 dtype=jnp.int32)                          # (M, k)
     b_c = jnp.minimum(b, nb - 1)
     excl = bcum - bsum                                    # exclusive cumsum
-    prefix = jnp.take_along_axis(excl, b_c, axis=-1)      # (M, k)
-    local_t = target[None, :] - prefix                    # rank within block
 
-    # Gather the RAW mask blocks first (a cheap major-dim row gather of
-    # (M, k, 128)), then cumsum only the gathered slice — ~12x less HBM
-    # traffic than cumsumming the full (M, nb, 128) tensor.
-    blk_mask = jnp.take_along_axis(mask3, b_c[..., None], axis=1)
-    blk_cum = jnp.cumsum(blk_mask.astype(jnp.int32), axis=-1)  # (M, k, 128)
+    # Block gathers as ONE-HOT MATMULS on the MXU: XLA lowers the per-row
+    # dynamic gathers here to a scalar dynamic-slice loop (~90 ns/row), while
+    # a (M, k, nb) one-hot contraction is a trivially small matmul.  0/1 and
+    # prefix values are exact (bf16 holds 0/1; counts < 2^24 in f32).
+    onehot = (b_c[..., None]
+              == lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2))  # (M, k, nb)
+    prefix = jnp.einsum("mkb,mb->mk", onehot.astype(jnp.float32),
+                        excl.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    local_t = target[None, :].astype(jnp.float32) - prefix
+
+    blk_mask = jnp.einsum("mkb,mbl->mkl", onehot.astype(jnp.bfloat16),
+                          mask3.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)  # (M, k, 128)
+    # Inclusive lane cumsum as one upper-triangular matmul.
+    triu = jnp.triu(jnp.ones((blk_w, blk_w), jnp.bfloat16))
+    blk_cum = jnp.dot(blk_mask.reshape(-1, blk_w).astype(jnp.bfloat16), triu,
+                      preferred_element_type=jnp.float32
+                      ).reshape(m, k, blk_w)
     within = jnp.sum(blk_cum < local_t[..., None], axis=-1, dtype=jnp.int32)
     idx = b_c * blk_w + within
 
