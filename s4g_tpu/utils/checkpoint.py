@@ -63,11 +63,6 @@ class Checkpointer:
         if filename.endswith((".pth", ".pt")):
             raise ValueError(
                 "PyTorch checkpoints must go through import_torch_checkpoint")
-        restore_args = None
-        if target is not None:
-            restore_args = ocp.args.PyTreeRestore(  # type: ignore[attr-defined]
-                target) if hasattr(ocp.args, "PyTreeRestore") else None
-        del restore_args
         return self._ckpt.restore(filename, item=target)
 
 
