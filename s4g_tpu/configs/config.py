@@ -20,12 +20,18 @@ from typing import Any, Mapping, Optional, Tuple
 import yaml
 
 
-def _tup(x) -> tuple:
-    """Parse yacs-style tuple literals: already-a-sequence or "(a, b, c)" strings."""
+def _tup(x):
+    """Parse yacs-style tuple literals: already-a-sequence or "(a, b, c)"
+    strings.  Non-literal strings (e.g. augmentation method names) pass
+    through unchanged."""
     if isinstance(x, str):
-        x = ast.literal_eval(x)
+        try:
+            x = ast.literal_eval(x)
+        except (ValueError, SyntaxError):
+            return x
     if isinstance(x, (list, tuple)):
-        return tuple(_tup(v) if isinstance(v, (list, tuple, str)) else v for v in x)
+        return tuple(_tup(v) if isinstance(v, (list, tuple, str)) else v
+                     for v in x)
     return x
 
 
