@@ -34,7 +34,8 @@ from ..utils.logger import MetricLogger, setup_logger
 from ..utils.math_utils import batch_transformation_inv
 from .collision import batch_view_non_collision
 from .postprocessing import (REAL2TRAIN, TRAIN2REAL, importance_sample,
-                             post_process_predictions)
+                             post_process_predictions,
+                             post_process_predictions_regression)
 from .preprocessing import preprocess_cloud
 
 _SUPPORTED_MODELS = ("curvature_model", "contact_model")
@@ -148,10 +149,17 @@ class GraspDetector:
             data_batch = {"scene_points": points.T[None]}    # (1, 3, N)
             preds = net.apply(variables, data_batch, train=False)
 
-            post = post_process_predictions(
-                points.T, preds["score"][0], preds["frame_R"][0],
-                preds["frame_t"][0], score_threshold, vertical_threshold,
-                num_candidates=num_candidates)
+            if "score" in preds:  # PN2_CLS: 4-bin translation decoding
+                post = post_process_predictions(
+                    points.T, preds["score"][0], preds["frame_R"][0],
+                    preds["frame_t"][0], score_threshold, vertical_threshold,
+                    num_candidates=num_candidates)
+            else:                 # PN2 regression-t (contact model)
+                post = post_process_predictions_regression(
+                    points.T, preds["scene_score_logits"][0],
+                    preds["frame_R"][0], preds["frame_t"][0],
+                    score_threshold, vertical_threshold,
+                    num_candidates=num_candidates)
 
             valid = post.valid
             if collision_check:

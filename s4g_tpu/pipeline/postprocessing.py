@@ -109,6 +109,41 @@ def post_process_predictions(points: Array, score_logits: Array,
     return PostProcessResult(mat44, top_scores, valid)
 
 
+@functools.partial(jax.jit, static_argnames=("num_candidates",))
+def post_process_predictions_regression(points: Array, score_logits: Array,
+                                        frame_r: Array, frame_t: Array,
+                                        score_threshold: float,
+                                        vertical_threshold: float,
+                                        num_candidates: int = 1024,
+                                        camera2base: Array | None = None,
+                                        train2real: Array | None = None
+                                        ) -> PostProcessResult:
+    """Post-processing for the regression-t contact model (MODEL.TYPE=PN2):
+    frame_R is already orthogonalized in-net (PointNet2.py:130-132) and
+    frame_t is the absolute grasp origin (points + residual,
+    PointNet2.py:134-137), so no bin decoding is applied.  The reference's
+    released detector only decodes the 4-bin head; this is the natural
+    regression twin."""
+    if camera2base is None:
+        camera2base = jnp.asarray(realworld.camera2base, dtype=jnp.float32)
+    if train2real is None:
+        train2real = jnp.asarray(TRAIN2REAL)
+
+    scores = expected_score(score_logits)
+    top_scores, top_idx = jax.lax.top_k(scores, num_candidates)
+    rot = frame_r.T.reshape(-1, 3, 3)[top_idx]
+    translation = frame_t.T[top_idx]
+
+    x_dir = -(camera2base[:3, :3] @ train2real[:3, :3] @ rot[:, :, 0].T)
+    valid = ((top_scores > score_threshold)
+             & (x_dir[2, :] > vertical_threshold))
+
+    rot_ortho = gram_schmidt_frames(rot)
+    mat44 = poses_from_rt(rot_ortho, translation)
+    mat44 = jnp.einsum("ij,kjl->kil", train2real, mat44)
+    return PostProcessResult(mat44, top_scores, valid)
+
+
 @functools.partial(jax.jit, static_argnames=("num_selected",))
 def importance_sample(key: Array, scores: Array, valid: Array,
                       num_selected: int) -> Array:

@@ -269,3 +269,39 @@ def test_detector_batched_multi_scene(tmp_path, rng):
     for poses, scores in results:
         assert poses.ndim == 3 and poses.shape[1:] == (4, 4)
         assert len(poses) == len(scores)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+def test_detector_contact_model_regression_t(tmp_path, rng):
+    """The contact (PN2 regression-t) model must run through the detector."""
+    import yaml
+    cfg = {
+        "MODEL": {"TYPE": "PN2", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": 256,
+            "NUM_CENTROIDS": "(64, 16)",
+            "RADIUS": "(0.02, 0.08)",
+            "NUM_NEIGHBOURS": "(16, 16)",
+            "SA_CHANNELS": "((16, 16), (16, 32))",
+            "FP_CHANNELS": "((16, 16), (16, 16))",
+            "NUM_FP_NEIGHBOURS": "(3, 3)",
+            "SEG_CHANNELS": "(16,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = tmp_path / "contact_tiny.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    from s4g_tpu.pipeline.detector import GraspDetector
+    det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=4096, num_candidates=32)
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)[:3000]
+    poses, scores = det.detect(cloud, num_selected=3, score_threshold=0.0,
+                               verticalness_threshold=-1.0)
+    assert poses.shape[1:] == (4, 4)
+    if len(poses):
+        r = poses[:, :3, :3]
+        eye = np.einsum("nij,nkj->nik", r, r)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(r), 1, 1)),
+                                   atol=1e-3)
