@@ -259,8 +259,6 @@ def grade_frames(points: Array, normals: Array, frames: Array,
     """
     num_l, num_t, num_dz = len(LENGTH_SEARCH), len(THETA_SEARCH), len(DZ_SEARCH)
     grid = jnp.asarray(search_grid_transforms())           # (L*T, 4, 4)
-    dls = jnp.asarray(np.repeat(np.asarray(LENGTH_SEARCH, np.float32), num_t))
-    dzs = jnp.asarray(np.asarray(DZ_SEARCH, np.float32))
 
     p = points.shape[0]
     pad = (-p) % chunk

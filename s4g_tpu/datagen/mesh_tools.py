@@ -99,7 +99,6 @@ def load_mesh(path: str) -> Mesh:
     if ext == ".wrl":
         return load_wrl(path)
     if ext == ".ply":
-        from ..utils.io_ply import read_ply_points
         raise ValueError("PLY meshes unsupported; convert to STL/OBJ")
     raise ValueError(f"unsupported mesh format {ext!r}")
 

@@ -99,9 +99,6 @@ class FileBackedSceneLoader:
         for _ in range(self.num_workers):
             task_q.put(None)
 
-        results: dict = {}
-        results_lock = threading.Lock()
-
         def worker():
             while True:
                 task = task_q.get()
