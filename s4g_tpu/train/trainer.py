@@ -133,13 +133,21 @@ class Trainer:
         key = jax.random.key(self.cfg.RNG_SEED)
 
         meters = MetricLogger(delimiter="  ")
-        start_epoch = 0
+        if state is None:
+            example = next(iter(train_data), None)
+            if example is None:
+                return None
+            state = self.resume_or_init(example)
+        steps_per_epoch = max(len(train_data), 1) if hasattr(
+            train_data, "__len__") else 1
+        start_epoch = int(state.step) // steps_per_epoch
+        if start_epoch:
+            self.logger.info("Resuming at epoch %d (step %d)", start_epoch,
+                             int(state.step))
         for epoch in range(start_epoch, max_epochs):
             tic = time.time()
             for it, batch in enumerate(train_data):
                 data_time = time.time() - tic
-                if state is None:
-                    state = self.resume_or_init(batch)
                 batch = shard_batch(self.mesh, batch)
                 key, sub = jax.random.split(key)
                 state, scalars = self._train_step(state, batch, sub)

@@ -160,3 +160,33 @@ def test_data_parallel_training_on_mesh(tmp_path):
     restored = trainer.checkpointer.load(None, resume=True,
                                          target=jax.device_get(state))
     assert int(restored.step) == 2
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+def test_trainer_fit_and_resume(tmp_path):
+    """fit() trains, checkpoints, and a NEW Trainer resumes at the right
+    epoch (AUTO_RESUME semantics, reference checkpoint.py:45-53)."""
+    data = dict(np.load(REFERENCE_SCENE, allow_pickle=True))
+    data_dir = tmp_path / "training_data"
+    data_dir.mkdir()
+    for i in range(8):
+        with open(data_dir / f"0_view_{i}.p", "wb") as f:
+            pickle.dump(data, f)
+
+    cfg = _tiny_cfg(TRAIN={"BATCH_SIZE": 8, "LOG_PERIOD": 1,
+                           "CHECKPOINT_PERIOD": 1},
+                    SCHEDULER={"MAX_EPOCH": 2, "TYPE": "StepLR",
+                               "StepLR": {"step_size": 20, "gamma": 0.5}})
+    ds = SceneGraspDataset(str(data_dir), num_points=128, score_classes=3,
+                           batch_size=8, num_frame_points=32, seed=0)
+    out = str(tmp_path / "out")
+    trainer = Trainer(cfg, output_dir=out, steps_per_epoch=len(ds))
+    state = trainer.fit(ds, max_epochs=2)
+    assert int(state.step) == 2 * len(ds)
+    assert trainer.checkpointer.has_checkpoint()
+
+    # resume with a fresh trainer: no further epochs should run
+    trainer2 = Trainer(cfg, output_dir=out, steps_per_epoch=len(ds))
+    state2 = trainer2.fit(ds, max_epochs=2)
+    assert int(state2.step) == 2 * len(ds)  # resumed complete, unchanged
