@@ -98,6 +98,8 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
     rows = n_pad // _LANES
     planes = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 0), (0, n_pad - n)))
     planes = planes.reshape(b, 3, rows, _LANES)
+    # Mosaic requires the minor output dim to be lane-aligned (128).
+    m_pad = ((num_centroids + _LANES - 1) // _LANES) * _LANES
 
     kernel = functools.partial(
         _fps_kernel, num_points=n, num_centroids=num_centroids)
@@ -113,13 +115,13 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
             pl.BlockSpec((1, 1, rows, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] * 3,
-        out_specs=pl.BlockSpec((1, 1, num_centroids), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, num_centroids), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)],
         interpret=interpret,
     )(planes[:, 0:1], planes[:, 1:2], planes[:, 2:3])
-    return out[:, 0]
+    return out[:, 0, :num_centroids]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -17,7 +17,6 @@ Differences from the reference (all TPU-motivated):
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Optional, Tuple
@@ -83,7 +82,7 @@ class GraspDetector:
         else:
             self.variables = self._load_weights()
 
-        self._detect_fn = self._build_detect_fn()
+        self._detect_fn, self._detect_batch_fn = self._build_detect_fn()
 
     # -- weights --------------------------------------------------------------
 
@@ -122,11 +121,9 @@ class GraspDetector:
         enable_voxel = self._enable_voxel
         enable_outlier = self._enable_outlier
 
-        @functools.partial(jax.jit, static_argnames=("num_selected",
-                                                     "collision_check"))
-        def detect_fn(variables, cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
-                      key, score_threshold: float, vertical_threshold: float,
-                      num_selected: int, collision_check: bool):
+        def detect_impl(variables, cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
+                        key, score_threshold: float, vertical_threshold: float,
+                        num_selected: int, collision_check: bool):
             """cloud: (capacity, 3) padded camera-frame points."""
             k_sample, k_importance = jax.random.split(key)
             # Camera frame -> training frame (grasp_detector.py:102).
@@ -182,7 +179,15 @@ class GraspDetector:
                 "num_valid": jnp.sum(valid.astype(jnp.int32)),
             }
 
-        return detect_fn
+        # Both programs built ONCE here: re-building jax.jit wrappers per call
+        # would make every invocation a fresh traced callable (retrace +
+        # recompile). `variables` is an explicit argument, never a closure.
+        detect_fn = jax.jit(detect_impl, static_argnums=(6, 7))
+        detect_batch_fn = jax.jit(
+            jax.vmap(detect_impl,
+                     in_axes=(None, 0, 0, 0, None, None, None, None)),
+            static_argnums=(6, 7))
+        return detect_fn, detect_batch_fn
 
     # -- public API -----------------------------------------------------------
 
@@ -237,13 +242,10 @@ class GraspDetector:
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, len(clouds))
 
-        batched = jax.jit(jax.vmap(
-            lambda cloud, valid, key: self._detect_fn(
-                self.variables, cloud, valid, key,
-                float(score_threshold), float(verticalness_threshold),
-                num_selected, bool(collision_check)),
-        ))
-        out = jax.tree.map(np.asarray, batched(padded, valids, keys))
+        out = jax.tree.map(np.asarray, self._detect_batch_fn(
+            self.variables, padded, valids, keys,
+            float(score_threshold), float(verticalness_threshold),
+            num_selected, bool(collision_check)))
         results = []
         for i in range(len(clouds)):
             valid_mask = out["valid"][i]

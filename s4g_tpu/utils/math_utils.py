@@ -59,11 +59,26 @@ def gram_schmidt_frames(rotation9: jnp.ndarray) -> jnp.ndarray:
         z = x×y.  Matches the post-processing rule of the reference
         (grasp_detector.py:124-135 / file_logger_cls.py:206-214).
     """
+    # Degenerate raw predictions (zero x, or y parallel to x — random-init
+    # nets produce them) would divide by ~0 and yield NaN / non-orthonormal
+    # frames; fall back to fixed basis vectors so the output is always a
+    # proper rotation.
+    eps = jnp.asarray(1e-6, rotation9.dtype)
     x = rotation9[..., :, 0]
-    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    e0 = jnp.zeros_like(x).at[..., 0].set(1.0)
+    x = jnp.where(x_norm > eps, x / jnp.maximum(x_norm, eps), e0)
     y = rotation9[..., :, 1]
     y = y - jnp.sum(x * y, axis=-1, keepdims=True) * x
-    y = y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+    y_norm = jnp.linalg.norm(y, axis=-1, keepdims=True)
+    # Fallback y: whichever of e1/e2 is less aligned with x, re-orthogonalized.
+    alt = jnp.zeros_like(x).at[..., 1].set(1.0)
+    alt2 = jnp.zeros_like(x).at[..., 2].set(1.0)
+    alt = jnp.where(
+        jnp.abs(jnp.sum(x * alt, axis=-1, keepdims=True)) < 0.9, alt, alt2)
+    alt = alt - jnp.sum(x * alt, axis=-1, keepdims=True) * x
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), eps)
+    y = jnp.where(y_norm > eps, y / jnp.maximum(y_norm, eps), alt)
     z = jnp.cross(x, y)
     return jnp.stack([x, y, z], axis=-1)
 
