@@ -175,8 +175,16 @@ class PointnetFPModule(nn.Module):
             assert self.num_neighbors == 3
             index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz))
             weight = interpolation_weights(distance)
-            neighbours = group_cl(sparse_feature, index)       # (B, N1, 3, C)
-            interpolated = jnp.sum(neighbours * weight[..., None], axis=2)
+            # Per-neighbour gather-then-fma: avoids materializing the
+            # (B, N1, 3, C) grouped tensor (~160 MB at deployment scale,
+            # profiled as the FP-stage bottleneck); accumulation order
+            # matches the grouped sum bit-for-bit.
+            interpolated = None
+            for j in range(3):
+                term = (gather_cl(sparse_feature, index[:, :, j])
+                        * weight[:, :, j:j + 1])
+                interpolated = (term if interpolated is None
+                                else interpolated + term)
             if dense_feature is not None:
                 new_feature = jnp.concatenate(
                     [interpolated, dense_feature], axis=-1)

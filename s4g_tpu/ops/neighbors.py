@@ -43,8 +43,11 @@ def pairwise_sqdist(a: Array, b: Array) -> Array:
     """
     a2 = jnp.sum(a * a, axis=-2)[..., :, None]           # (..., M, 1)
     b2 = jnp.sum(b * b, axis=-2)[..., None, :]           # (..., 1, N)
+    # HIGHEST precision: the TPU MXU's default f32 path truncates the
+    # multiplies to bfloat16; neighbour selection needs full f32 products.
     ab = jnp.einsum("...cm,...cn->...mn", a, b,
-                    preferred_element_type=jnp.float32)  # (..., M, N)
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)     # (..., M, N)
     return a2 + b2 - 2.0 * ab
 
 
@@ -115,23 +118,127 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     return idx.astype(jnp.int32), count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _first_k_from_packed(mask16: Array, wsum: Array, bsum: Array, k: int,
+                         num_points: int):
+    """First-k-in-scan-order selection from packed mask words.
+
+    THREE-level rank selection consuming the fused Pallas phase-1 outputs:
+    per-slot target ranks bisect first to a 128-key block (bsum cumsum),
+    then to one 16-bit word inside it (wsum), and only that single word's
+    bits are unpacked — 16 bits per (centroid, slot) instead of 128.
+
+    Args:
+        mask16: (M, NW) f32 packed words (bit t of word w = key 16w+t).
+        wsum: (M, NW) f32 per-word popcounts.
+        bsum: (M, NB) f32 per-128-block counts (NB = NW/8).
+        k: slots per centroid.
+    Returns:
+        index: (M, k) int32, count: (M,) int32.
+    """
+    m, nw = mask16.shape
+    nb = nw // 8
+    bsum = bsum.astype(jnp.int32)
+    bcum = jnp.cumsum(bsum, axis=-1)                      # inclusive
+    count = jnp.minimum(bcum[..., -1], k)
+
+    target = jnp.arange(1, k + 1, dtype=jnp.int32)        # (k,)
+    b = jnp.sum(bcum[:, None, :] < target[None, :, None], axis=-1,
+                dtype=jnp.int32)                          # (M, k)
+    b_c = jnp.minimum(b, nb - 1)
+    excl = bcum - bsum                                    # exclusive cumsum
+
+    # One one-hot matmul gathers, per (centroid, slot): the block's rank
+    # prefix, its 8 packed words, and its 8 word popcounts (all exact in
+    # f32: words < 2^16, counts < 2^24).
+    onehot = (b_c[..., None]
+              == lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+              ).astype(jnp.float32)                       # (M, k, nb)
+    prefix = jnp.einsum("mkb,mb->mk", onehot, excl.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    local_t = target[None, :].astype(jnp.float32) - prefix  # (M, k)
+    words = jnp.einsum("mkb,mbw->mkw", onehot, mask16.reshape(m, nb, 8),
+                       preferred_element_type=jnp.float32)  # (M, k, 8)
+    wcnt = jnp.einsum("mkb,mbw->mkw", onehot, wsum.reshape(m, nb, 8),
+                      preferred_element_type=jnp.float32)   # (M, k, 8)
+
+    # Level 2: which of the block's 8 words holds the target rank. The
+    # selected word / its rank prefix come from one-hot reductions over the
+    # 8-word axis (take_along_axis would be 300k+ latency-bound gathers).
+    wcum = jnp.cumsum(wcnt, axis=-1)                        # inclusive
+    word_sel = jnp.sum(wcum < local_t[..., None], axis=-1,
+                       dtype=jnp.int32)                     # (M, k) in 0..7
+    word_sel = jnp.minimum(word_sel, 7)
+    sel8 = (word_sel[..., None]
+            == lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
+            ).astype(jnp.float32)                           # (M, k, 8)
+    wprefix = jnp.sum(sel8 * (wcum - wcnt), axis=-1)        # exclusive
+    local_t2 = local_t - wprefix
+    word = jnp.sum(sel8 * words, axis=-1).astype(jnp.int32)  # (M, k)
+
+    # Level 3: unpack the single selected word. Integer shift-and-mask (a
+    # float floor-division here is lowered to a reciprocal multiply whose
+    # rounding lands exact multiples just below the integer, dropping bits).
+    shifts = jnp.arange(16, dtype=jnp.int32)
+    bits = (jnp.right_shift(word[..., None], shifts) & 1)   # (M, k, 16)
+    bitcum = jnp.cumsum(bits, axis=-1)
+    within = jnp.sum(bitcum.astype(jnp.float32) < local_t2[..., None],
+                     axis=-1, dtype=jnp.int32)
+    idx = b_c * 128 + word_sel * 16 + within
+
+    slot = lax.broadcasted_iota(jnp.int32, idx.shape, idx.ndim - 1)
+    valid = slot < count[..., None]
+    first = jnp.where(count > 0, idx[..., 0], 0)
+    idx = jnp.where(valid, idx, first[..., None])
+    return jnp.minimum(idx, num_points - 1).astype(jnp.int32), count
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def ball_query(points: Array, centroids: Array, radius: float,
-               num_neighbours: int, chunk: int = 512):
+               num_neighbours: int, chunk: int = 512, impl: str = "auto"):
     """Ball query with reference-CUDA semantics.
+
+    On TPU the distance/mask pass runs as a fused Pallas kernel emitting
+    packed mask words (ops.pallas.neighbor_kernels.ball_query_phase1_pallas);
+    elsewhere a chunked XLA distance pass feeds the same two-level rank
+    selection.
 
     Args:
         points: (B, 3, N) all points.
         centroids: (B, 3, M) query centres.
         radius: ball radius (strict < comparison on squared distance).
         num_neighbours: K slots per centroid.
-        chunk: centroid chunk size bounding the live (chunk, N) matrix.
+        chunk: centroid chunk size bounding the live (chunk, N) matrix (XLA
+            path only).
+        impl: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
 
     Returns:
         index: (B, M, K) int32, count: (B, M) int32.
     """
     b, _, m = centroids.shape
+    n = points.shape[2]
     radius2 = radius * radius
+
+    if impl == "auto":
+        import os
+        override = os.environ.get("S4G_BQ_IMPL")
+        if override:
+            impl = override
+        else:
+            # Same size heuristic as three_nn: the fused packed-mask path
+            # pays off once the (M, N) pair count is HBM-bound in XLA.
+            big = m * n >= (1 << 22)
+            impl = ("pallas" if jax.default_backend() == "tpu" and big
+                    else "xla")
+
+    if impl == "pallas":
+        from .pallas.neighbor_kernels import ball_query_phase1_pallas
+        mask16, wsum, bsum = ball_query_phase1_pallas(points, centroids,
+                                                      radius)
+        idx, count = jax.vmap(
+            lambda m16, ws, bs: _first_k_from_packed(m16, ws, bs,
+                                                     num_neighbours, n)
+        )(mask16, wsum, bsum)
+        return idx, count
 
     pad = (-m) % chunk
     cent = jnp.pad(centroids, ((0, 0), (0, 0), (0, pad)))
@@ -151,20 +258,44 @@ def ball_query(points: Array, centroids: Array, radius: float,
     return idx, count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
-             chunk: int = 2048):
-    """3 nearest neighbours of each query point among the key points.
+def _exact_resort3(idx: Array, query_xyz: Array, key_xyz: Array):
+    """Recompute exact difference-form distances for the 3 selected
+    neighbours (matches the CUDA arithmetic, interpolate_kernel.cu:60) and
+    restore ascending order with a 3-element sorting network (compare on
+    (distance, index) pairs — far cheaper than argsort on TPU).
 
     Args:
-        query_xyz: (B, 3, N1)
-        key_xyz: (B, 3, N2)
-
+        idx: (B, N1, 3) selected key indices.
+        query_xyz: (B, 3, N1); key_xyz: (B, 3, N2).
     Returns:
-        index: (B, N1, 3) int32 — ascending distance, ties to lower index.
-        distance: (B, N1, 3) exact squared distances (difference form).
+        (idx (B, N1, 3) i32, dist (B, N1, 3) exact sq distances), sorted.
     """
-    assert num_neighbors == 3, "reference kernel is hard-coded to K=3"
+    k_t = jnp.swapaxes(key_xyz, 1, 2)                 # (B, N2, 3)
+    sel = jnp.take_along_axis(k_t[:, :, None, :],
+                              idx[..., None], axis=1)  # (B, N1, 3, 3)
+    diff = sel - jnp.swapaxes(query_xyz, 1, 2)[:, :, None, :]
+    d_exact = jnp.sum(diff * diff, axis=-1)            # (B, N1, 3)
+
+    def swap(vals, inds, a, bpos):
+        va, vb = vals[a], vals[bpos]
+        ia, ib = inds[a], inds[bpos]
+        do = (va > vb) | ((va == vb) & (ia > ib))
+        vals[a] = jnp.where(do, vb, va)
+        vals[bpos] = jnp.where(do, va, vb)
+        inds[a] = jnp.where(do, ib, ia)
+        inds[bpos] = jnp.where(do, ia, ib)
+
+    vals = [d_exact[..., s] for s in range(3)]
+    inds = [idx[..., s] for s in range(3)]
+    swap(vals, inds, 0, 1)
+    swap(vals, inds, 1, 2)
+    swap(vals, inds, 0, 1)
+    return (jnp.stack(inds, axis=-1).astype(jnp.int32),
+            jnp.stack(vals, axis=-1))
+
+
+def _three_nn_select_xla(query_xyz: Array, key_xyz: Array, chunk: int):
+    """Matmul-form 3-NN selection via chunked XLA (CPU / fallback path)."""
     b, _, n1 = query_xyz.shape
 
     pad = (-n1) % chunk
@@ -173,8 +304,7 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
     q = q.reshape(b, 3, num_chunks, chunk).transpose(0, 2, 1, 3)
 
     def per_batch(q_b, k_b):
-        k_t = k_b.T  # (N2, 3)
-        n2 = k_t.shape[0]
+        n2 = k_b.shape[1]
         col = lax.broadcasted_iota(jnp.int32, (1, n2), 1)
 
         def per_chunk(q_c):
@@ -182,40 +312,53 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
             # Iterative min-extraction (3 passes); argmin ties break to the
             # lower index, matching the reference's strict-< insertion order.
             idx_list = []
-            for _ in range(num_neighbors):
+            for _ in range(3):
                 i = jnp.argmin(d, axis=-1).astype(jnp.int32)
                 idx_list.append(i)
                 d = jnp.where(col == i[:, None], jnp.inf, d)
-            idx = jnp.stack(idx_list, axis=-1)            # (chunk, 3)
-            # Recompute exact distances for the selected neighbours with the
-            # difference formula (matches the CUDA arithmetic), then restore
-            # ascending order under the exact values with a 3-element
-            # sorting network (compare on (distance, index) pairs — far
-            # cheaper than argsort on TPU).
-            sel = k_t[idx]                                # (chunk, 3, 3) xyz
-            diff = sel - q_c.T[:, None, :]
-            d_exact = jnp.sum(diff * diff, axis=-1)       # (chunk, 3)
-
-            def swap(vals, inds, a, bpos):
-                va, vb = vals[a], vals[bpos]
-                ia, ib = inds[a], inds[bpos]
-                do = (va > vb) | ((va == vb) & (ia > ib))
-                vals[a] = jnp.where(do, vb, va)
-                vals[bpos] = jnp.where(do, va, vb)
-                inds[a] = jnp.where(do, ib, ia)
-                inds[bpos] = jnp.where(do, ia, ib)
-
-            vals = [d_exact[:, s] for s in range(3)]
-            inds = [idx[:, s] for s in range(3)]
-            swap(vals, inds, 0, 1)
-            swap(vals, inds, 1, 2)
-            swap(vals, inds, 0, 1)
-            return (jnp.stack(inds, axis=-1).astype(jnp.int32),
-                    jnp.stack(vals, axis=-1))
+            return jnp.stack(idx_list, axis=-1)           # (chunk, 3)
 
         return lax.map(per_chunk, q_b)
 
-    idx, dist = jax.vmap(per_batch)(q, key_xyz)
-    idx = idx.reshape(b, n1 + pad, num_neighbors)[:, :n1]
-    dist = dist.reshape(b, n1 + pad, num_neighbors)[:, :n1]
-    return idx, dist
+    idx = jax.vmap(per_batch)(q, key_xyz)
+    return idx.reshape(b, n1 + pad, 3)[:, :n1]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
+             chunk: int = 2048, impl: str = "auto"):
+    """3 nearest neighbours of each query point among the key points.
+
+    Selection uses matmul-form distances (fused VMEM-resident Pallas kernel
+    on TPU, chunked XLA elsewhere); the returned distances are exact
+    difference-form values recomputed on the 3 winners, ascending, ties to
+    the lower index.
+
+    Args:
+        query_xyz: (B, 3, N1)
+        key_xyz: (B, 3, N2)
+        impl: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
+
+    Returns:
+        index: (B, N1, 3) int32 — ascending distance, ties to lower index.
+        distance: (B, N1, 3) exact squared distances (difference form).
+    """
+    assert num_neighbors == 3, "reference kernel is hard-coded to K=3"
+    if impl == "auto":
+        import os
+        override = os.environ.get("S4G_3NN_IMPL")
+        if override:
+            impl = override
+        else:
+            # The fused kernel wins when the (N1, N2) distance block is big
+            # enough to be HBM-traffic-bound in XLA; small stages are faster
+            # on the plain XLA path (measured on v5e, see BASELINE.md).
+            big = query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 22)
+            impl = ("pallas" if jax.default_backend() == "tpu" and big
+                    else "xla")
+    if impl == "pallas":
+        from .pallas.neighbor_kernels import three_nn_pallas
+        idx, _ = three_nn_pallas(query_xyz, key_xyz)
+    else:
+        idx = _three_nn_select_xla(query_xyz, key_xyz, chunk)
+    return _exact_resort3(idx, query_xyz, key_xyz)

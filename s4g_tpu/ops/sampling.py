@@ -56,27 +56,37 @@ def _fps_xla(points: Array, num_centroids: int) -> Array:
 
 def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
                 num_centroids):
-    """One batch element. Refs: x/y/z (R, 128) planes, out (1, M) i32,
-    scratch min_d (R, 128) f32."""
+    """One batch element. Refs: x/y/z (R, 128) planes, out (M_pad/128, 128)
+    i32 (row-major linear slots), scratch min_d (R, 128) f32.
+
+    Per-iteration cost is kept to the distance/argmax passes: the current
+    point is read with ONE dynamic-sublane row read + lane mask per plane
+    (not a full-plane masked reduction), and selected indices accumulate in
+    a rolling 128-lane register row flushed once every 128 iterations (not
+    a masked write over the whole output)."""
     rows = x_ref.shape[0]
     lin = (lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
            + lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1))
     # Padded tail can never be selected: its min-distance stays at -1.
     valid = lin < num_points
     min_d_ref[:] = jnp.where(valid, jnp.inf, -1.0).astype(min_d_ref.dtype)
-    # Mosaic cannot store scalars to VMEM; all output writes are masked
-    # vector writes against this slot iota.
-    out_iota = lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
-    out_ref[:] = jnp.zeros_like(out_ref)
+    lane = lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
     big = jnp.int32(rows * _LANES)
+    # Slot 0 is always point 0 (sampling_kernel.cu:67): the zero init of the
+    # rolling row already encodes it.
+    acc0 = jnp.zeros((1, _LANES), jnp.int32)
 
-    def body(i, cur):
-        # Scalar-free current-point read: masked reduction over the planes.
-        sel = lin == cur
-        cx = jnp.max(jnp.where(sel, x_ref[:], -jnp.inf))
-        cy = jnp.max(jnp.where(sel, y_ref[:], -jnp.inf))
-        cz = jnp.max(jnp.where(sel, z_ref[:], -jnp.inf))
+    def body(i, carry):
+        cur, acc = carry
+        row = cur // _LANES
+        lane_sel = lane == (cur % _LANES)
+        x_row = x_ref[pl.ds(row, 1), :]
+        y_row = y_ref[pl.ds(row, 1), :]
+        z_row = z_ref[pl.ds(row, 1), :]
+        cx = jnp.max(jnp.where(lane_sel, x_row, -jnp.inf))
+        cy = jnp.max(jnp.where(lane_sel, y_row, -jnp.inf))
+        cz = jnp.max(jnp.where(lane_sel, z_row, -jnp.inf))
         dx = x_ref[:] - cx
         dy = y_ref[:] - cy
         dz = z_ref[:] - cz
@@ -86,10 +96,18 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
         max_val = jnp.max(md)
         # Lowest linear index attaining the max (deterministic tie-break).
         nxt = jnp.min(jnp.where(md == max_val, lin, big))
-        out_ref[:] = jnp.where(out_iota == i, nxt, out_ref[:])
-        return nxt
+        acc = jnp.where(lane == (i % _LANES), nxt, acc)
 
-    lax.fori_loop(1, num_centroids, body, jnp.int32(0), unroll=False)
+        @pl.when(i % _LANES == _LANES - 1)
+        def _flush():
+            out_ref[pl.ds(i // _LANES, 1), :] = acc
+
+        return nxt, acc
+
+    _, acc = lax.fori_loop(1, num_centroids, body, (jnp.int32(0), acc0),
+                           unroll=False)
+    if num_centroids % _LANES != 0:  # static: flush the partial final row
+        out_ref[pl.ds((num_centroids - 1) // _LANES, 1), :] = acc
 
 
 def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -> Array:
@@ -98,8 +116,10 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
     rows = n_pad // _LANES
     planes = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 0), (0, n_pad - n)))
     planes = planes.reshape(b, 3, rows, _LANES)
-    # Mosaic requires the minor output dim to be lane-aligned (128).
+    # Mosaic requires the minor output dim to be lane-aligned (128); output
+    # slots are row-major linear over a (M_pad/128, 128) grid.
     m_pad = ((num_centroids + _LANES - 1) // _LANES) * _LANES
+    rows_out = m_pad // _LANES
 
     kernel = functools.partial(
         _fps_kernel, num_points=n, num_centroids=num_centroids)
@@ -115,13 +135,13 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
             pl.BlockSpec((1, 1, rows, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] * 3,
-        out_specs=pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows_out, _LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, rows_out, _LANES), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)],
         interpret=interpret,
     )(planes[:, 0:1], planes[:, 1:2], planes[:, 2:3])
-    return out[:, 0, :num_centroids]
+    return out.reshape(b, m_pad)[:, :num_centroids]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
