@@ -132,3 +132,44 @@ class TestProfiling:
         f = jax.jit(lambda x: jnp.sum(x * 2))
         dt = timed_scalar(f, jnp.ones(128), iters=3)
         assert dt > 0
+
+
+class TestJsonToPcd:
+    def _write_json(self, path, n=5, seed=0):
+        import json
+        rng = np.random.RandomState(seed)
+        pts = rng.rand(n, 3)
+        nrm = rng.randn(n, 3)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        records = [{"v": list(map(float, p)), "n": list(map(float, m))}
+                   for p, m in zip(pts, nrm)]
+        with open(path, "w") as f:
+            json.dump(records, f)
+        return pts, nrm
+
+    def test_convert_scales_points_not_normals(self, tmp_path):
+        from s4g_tpu.datagen.json_to_pcd import convert_json_dir
+        from s4g_tpu.utils.io_ply import read_ply_points
+        jdir = tmp_path / "json"
+        pdir = tmp_path / "pcd"
+        jdir.mkdir()
+        pts, nrm = self._write_json(jdir / "025_mug.json")
+        # hidden + unknown objects are skipped (reference json_to_pcd.py:22-26)
+        self._write_json(jdir / ".hidden.json")
+        self._write_json(jdir / "unknown_object.json")
+        written = convert_json_dir(str(jdir), str(pdir),
+                                   name_scale={"025_mug": [0.8, 1.0, 2.0]})
+        assert [os.path.basename(w) for w in written] == [
+            "025_mug#0.ply", "025_mug#1.ply", "025_mug#2.ply"]
+        got = read_ply_points(str(pdir / "025_mug#2.ply"))
+        np.testing.assert_allclose(got, pts * 2.0, atol=1e-6)
+        # normals written unscaled
+        body = open(pdir / "025_mug#2.ply").read().splitlines()
+        first = body[body.index("end_header") + 1].split()
+        np.testing.assert_allclose([float(x) for x in first[3:6]],
+                                   nrm[0], atol=1e-6)
+
+    def test_name_scale_table(self):
+        from s4g_tpu.datagen.json_to_pcd import NAME_SCALE
+        assert NAME_SCALE["026_sponge"] == [1.0, 1.2, 1.5, 2.0, 3.0, 4.0]
+        assert len(NAME_SCALE) == 55

@@ -117,3 +117,77 @@ def test_file_logger_unlabeled(tmp_path, monkeypatch):
         assert (step_dir / fname).exists(), fname
     if len(top_h):
         assert (tmp_path / "top_frames.npy").exists()
+
+
+class TestHtmlViewer:
+    def _fake_training_pickle(self, path, n=400, g=5, seed=0):
+        import pickle
+        rng = np.random.RandomState(seed)
+        cloud = rng.rand(3, n)
+        valid_index = rng.choice(n, g, replace=False)
+        frames = np.tile(np.eye(4), (g, 4, 12, 1, 1))
+        frames[..., :3, 3] = rng.rand(g, 4, 12, 3)
+        data = {
+            "point_cloud": cloud,
+            "valid_index": valid_index,
+            "search_score": rng.rand(g, 4, 12) * 200,
+            "antipodal_score": rng.rand(g, 4, 12),
+            "valid_frame": frames,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+        return data
+
+    def test_export_viewer_html(self, tmp_path):
+        from s4g_tpu.utils.html_viewer import export_interactive_viewer
+        rng = np.random.RandomState(1)
+        pts = rng.rand(300, 3)
+        out = export_interactive_viewer(
+            str(tmp_path / "v.html"), pts, scores=rng.rand(300),
+            grasp_point_indices=np.array([3, 7]),
+            frames_per_point=[np.eye(4)[None], np.eye(4)[None].repeat(2, 0)])
+        html = open(out).read()
+        assert "shift-click" in html
+        import json as _json
+        import re
+        data = _json.loads(
+            re.search(r"const DATA = (\{.*?\});\n", html, re.S).group(1))
+        assert len(data["points"]) == 300
+        assert data["labeled"] == [3, 7]
+        assert [len(f) for f in data["frames"]] == [1, 2]
+        assert len(data["gripper"]) == 36  # 3 boxes x 12 edges
+
+    def test_subsample_keeps_labeled(self, tmp_path):
+        from s4g_tpu.utils.html_viewer import export_interactive_viewer
+        rng = np.random.RandomState(2)
+        pts = rng.rand(5000, 3)
+        labeled = np.array([4999, 0])
+        out = export_interactive_viewer(
+            str(tmp_path / "v.html"), pts, grasp_point_indices=labeled,
+            frames_per_point=[np.eye(4)[None]] * 2, max_points=100)
+        import json as _json
+        import re
+        data = _json.loads(
+            re.search(r"const DATA = (\{.*?\});\n", open(out).read(),
+                      re.S).group(1))
+        assert len(data["points"]) <= 102
+        for li, orig in zip(data["labeled"], labeled):
+            np.testing.assert_allclose(data["points"][li], pts[orig],
+                                       atol=1e-4)
+
+    def test_pick_grasp_viewer_cli(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from pick_grasp_viewer import build_viewer
+        pkl = str(tmp_path / "scene_view_0.p")
+        self._fake_training_pickle(pkl)
+        out = build_viewer(pkl, str(tmp_path / "viewer.html"),
+                           max_frames_per_point=3)
+        import json as _json
+        import re
+        data = _json.loads(
+            re.search(r"const DATA = (\{.*?\});\n", open(out).read(),
+                      re.S).group(1))
+        assert len(data["labeled"]) == 5
+        assert all(1 <= len(f) <= 3 for f in data["frames"])
