@@ -1,21 +1,25 @@
 """Benchmark: scenes/sec/chip for single-view grasp inference.
 
 Measures the reference's headline points (SURVEY.md §6 / BASELINE.md):
-model-forward latency at batch 1 with 25,600 points, plus the fused
-end-to-end detect pipeline, on the attached TPU chip.
+model-forward latency and the fused end-to-end detect pipeline (forward +
+post-processing + collision filtering) at batch 1 with 25,600 points, on
+the attached TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
 vs_baseline uses BASELINE.md's reference anchor: the reference publishes no
 numbers, so we anchor on an H100 estimate for the same PointNet++ forward
 (~10 ms/scene => 100 scenes/sec; the driver's north star is 4x that).
 vs_baseline = measured_scenes_per_sec / 100.0 (>4.0 meets the target).
 
-NOTE on timing under this harness: block_until_ready is unreliable over the
-remote-TPU tunnel, and fetching large outputs measures tunnel bandwidth, not
-compute.  All timed programs therefore reduce outputs to scalars on device
-and sync by fetching the scalar; per-fetch tunnel latency (~3 ms amortized
-over a timing loop) is subtracted via a measured null-op baseline.
+Timing methodology (chained-dispatch slope): each timed program runs N
+iterations of the workload inside ONE jitted lax.fori_loop whose carry
+feeds back into the inputs, and the per-iteration device time is the slope
+(t(N_hi) - t(N_lo)) / (N_hi - N_lo) — dispatch and tunnel constants cancel
+exactly.  The feedback uses a *1e-45 scale (adds exactly 0 after f32
+rounding) rather than *0.0: XLA constant-folds 0.0*x under
+--xla_allow_excess_precision and then dead-code-eliminates the loop body,
+which silently turned earlier benchmarks into no-ops.
 """
 
 import json
@@ -24,32 +28,55 @@ import time
 import numpy as np
 
 REF_SCENES_PER_SEC = 100.0  # documented H100-estimate anchor (BASELINE.md)
+MODEL_GMACS = 110.0         # PN2_CLS forward at 25,600 pts (BASELINE.md)
+V5E_PEAK_BF16_TFLOPS = 394.0
 
 
-def _sync_scalar(x):
-    return float(np.asarray(x))
+def slope_time(fn, args, lo=10, hi=60, reps=3):
+    """Per-call device seconds via chained-dispatch slope timing."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
 
+    def make(n):
+        @jax.jit
+        def run(*a):
+            def body(i, acc):
+                eps = acc * 1e-45          # == +0.0 after rounding, unfoldable
+                pert = [x + eps if jnp.issubdtype(x.dtype, jnp.floating)
+                        else x for x in a]
+                out = fn(*pert)
+                s = sum(jnp.sum(leaf).astype(jnp.float32)
+                        for leaf in jax.tree.leaves(out))
+                return acc + s * 1e-45 + 1.0
+            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
 
-def timed_loop(fn, iters):
-    _sync_scalar(fn())
-    t0 = time.perf_counter()
-    r = None
-    for _ in range(iters):
-        r = fn()
-    _sync_scalar(r)
-    return (time.perf_counter() - t0) / iters
+    run_lo, run_hi = make(lo), make(hi)
+    float(run_lo(*args))
+    float(run_hi(*args))
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_lo(*args))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_hi(*args))
+        t_hi = time.perf_counter() - t0
+        best.append((t_hi - t_lo) / (hi - lo))
+    return min(best)
 
 
 def _select_fps_impl():
-    """Probe the Pallas FPS kernel; fall back to the XLA loop if the Mosaic
-    compiler is unavailable (e.g. remote-compile helper outage)."""
+    """Probe the Pallas FPS build; fall back to the XLA loop if the Mosaic
+    compiler is unavailable (e.g. remote-compile-helper outage)."""
     import os
     import jax.numpy as jnp
     from s4g_tpu.ops.sampling import farthest_point_sample
     try:
         probe = jnp.zeros((1, 3, 25600), jnp.float32)
-        _sync_scalar(farthest_point_sample(probe, 5120,
-                                           impl="pallas").sum())
+        float(np.asarray(farthest_point_sample(probe, 5120,
+                                               impl="pallas").sum()))
     except Exception:
         os.environ["S4G_FPS_IMPL"] = "xla"
 
@@ -62,6 +89,8 @@ def main():
 
     from s4g_tpu.configs.config import load_cfg_from_file
     from s4g_tpu.models import build_model
+    from s4g_tpu.ops.neighbors import ball_query, three_nn
+    from s4g_tpu.ops.sampling import farthest_point_sample
     from s4g_tpu.pipeline.postprocessing import post_process_predictions
     from s4g_tpu.pipeline.collision import batch_view_non_collision
     from s4g_tpu.utils.math_utils import batch_transformation_inv
@@ -82,36 +111,37 @@ def main():
         points = (rng.rand(3, 25600) * 0.6 - 0.3).astype(np.float32)
         points[2] += 1.0
 
-    batch = {"scene_points": jnp.asarray(points[None])}
+    pts = jnp.asarray(points)
+    batch = {"scene_points": pts[None]}
     variables = jax.jit(
         lambda k, b: net.init(k, b, train=False))(jax.random.key(0), batch)
 
-    # Null-op: measures tunnel sync latency to subtract.
-    null = jax.jit(lambda b: b["scene_points"].sum())
-    null_t = timed_loop(lambda: null(batch), 30)
-
-    fwd = jax.jit(lambda v, b: jax.tree.map(
-        jnp.sum, net.apply(v, b, train=False))["score"])
-    fwd_t = max(timed_loop(lambda: fwd(variables, batch), 30) - null_t, 1e-6)
+    fwd = lambda p: net.apply(variables, {"scene_points": p}, train=False)
+    fwd_t = slope_time(fwd, (pts[None],))
 
     # Fused detect pipeline: forward + post-process + collision (batch 1).
-    @jax.jit
-    def detect(variables, batch, key):
-        preds = net.apply(variables, batch, train=False)
-        pts = batch["scene_points"][0]
+    def detect(p):
+        preds = net.apply(variables, {"scene_points": p[None]}, train=False)
         post = post_process_predictions(
-            pts, preds["score"][0], preds["frame_R"][0], preds["frame_t"][0],
+            p, preds["score"][0], preds["frame_R"][0], preds["frame_t"][0],
             0.3, -1.0, num_candidates=1024)
         g2l = batch_transformation_inv(post.poses)
-        ok = batch_view_non_collision(g2l, pts.T)
-        valid = post.valid & ok
-        return post.poses.sum() + post.scores.sum() + valid.sum()
+        ok = batch_view_non_collision(g2l, p.T)
+        return post.poses.sum() + post.scores.sum() + (post.valid & ok).sum()
 
-    key = jax.random.key(0)
-    det_t = max(timed_loop(lambda: detect(variables, batch, key), 30) - null_t,
-                1e-6)
+    det_t = slope_time(detect, (pts,))
+
+    # Per-stage hot-op breakdown at deployment shapes (same slope method).
+    c1 = jnp.take_along_axis(
+        pts[None], farthest_point_sample(pts[None], 5120)[:, None, :]
+        .repeat(3, 1), axis=2)
+    fps_t = slope_time(lambda p: farthest_point_sample(p, 5120), (pts[None],))
+    bq_t = slope_time(lambda p, c: ball_query(p, c, 0.02, 64),
+                      (pts[None], c1))
+    nn_t = slope_time(lambda q, k: three_nn(q, k), (pts[None], c1))
 
     scenes_per_sec = 1.0 / det_t
+    mfu = (MODEL_GMACS * 2e9 / fwd_t) / (V5E_PEAK_BF16_TFLOPS * 1e12)
     result = {
         "metric": "scenes/sec/chip single-view grasp inference "
                   "(e2e fwd+postproc+collision, 25600 pts, batch 1)",
@@ -121,7 +151,11 @@ def main():
         "detail": {
             "model_forward_ms": round(fwd_t * 1000, 2),
             "detect_e2e_ms": round(det_t * 1000, 2),
-            "sync_overhead_ms": round(null_t * 1000, 2),
+            "stage1_fps_ms": round(fps_t * 1000, 2),
+            "stage1_ball_query_ms": round(bq_t * 1000, 2),
+            "stage1_three_nn_ms": round(nn_t * 1000, 2),
+            "model_mfu_pct": round(mfu * 100, 1),
+            "timing": "chained-dispatch slope (dispatch/tunnel cancels)",
             "backend": jax.default_backend(),
         },
     }

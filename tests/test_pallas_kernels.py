@@ -26,22 +26,22 @@ def test_three_nn_pallas_matches_xla_interpret():
 
 
 @pytest.mark.slow
-def test_ball_query_phase1_pallas_interpret():
-    """Packed-mask phase-1 kernel + phase-2 rank selection == XLA path."""
-    import jax
-    from s4g_tpu.ops.neighbors import _first_k_from_packed
-    from s4g_tpu.ops.pallas.neighbor_kernels import ball_query_phase1_pallas
+@pytest.mark.parametrize("n,m,radius,k", [
+    (700, 300, 0.1, 16),      # counts straddle k
+    (700, 300, 0.9, 64),      # counts far above k (first-k ordering)
+    (700, 300, 0.001, 8),     # mostly-empty balls (duplicate fill, count 0)
+    (2500, 600, 0.05, 32),    # multiple key tiles + centroid tiles
+])
+def test_ball_query_fused_pallas_interpret(n, m, radius, k):
+    """Fused distance+pack+bisect kernel == XLA reference path."""
+    from s4g_tpu.ops.pallas.neighbor_kernels import ball_query_fused_pallas
 
     rng = np.random.RandomState(2)
-    pts = jnp.asarray((rng.rand(1, 3, 700) * 0.6).astype(np.float32))
-    cent = pts[:, :, :300]
-    radius, k = 0.1, 16
-    mask16, wsum, bsum = ball_query_phase1_pallas(pts, cent, radius,
-                                                  interpret=True)
-    idx_p, cnt_p = jax.vmap(
-        lambda m16, ws, bs: _first_k_from_packed(m16, ws, bs, k, 700)
-    )(mask16, wsum, bsum)
-    idx_x, cnt_x = ops.ball_query(pts, cent, radius, k)
+    pts = jnp.asarray((rng.rand(2, 3, n) * 0.6).astype(np.float32))
+    cent = pts[:, :, :m]
+    idx_p, cnt_p = ball_query_fused_pallas(pts, cent, radius, k,
+                                           interpret=True)
+    idx_x, cnt_x = ops.ball_query(pts, cent, radius, k, impl="xla")
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
 
@@ -62,3 +62,109 @@ def test_three_nn_full_pipeline_pallas_interpret(monkeypatch):
     idx_x, d_x = three_nn(q, k, impl="xla")
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
+
+
+@pytest.mark.slow
+def test_mlp_chain_pallas_interpret():
+    """Fused MLP-chain kernel == jnp reference chain (bf16, pooled+plain)."""
+    from s4g_tpu.ops.pallas.mlp_kernels import mlp_chain_pallas
+
+    rng = np.random.RandomState(0)
+    for p, cs, pool in [(1024, (3, 16, 32), 64), (700, (5, 8), None),
+                        (512, (515, 64), 8)]:
+        x = jnp.asarray(rng.randn(p, cs[0]).astype(np.float32))
+        params = tuple(
+            (jnp.asarray(rng.randn(cs[i], cs[i + 1]).astype(np.float32) * .1),
+             jnp.asarray(rng.randn(cs[i + 1]).astype(np.float32) * .1))
+            for i in range(len(cs) - 1))
+        relu = tuple([True] * (len(params) - 1) + [False])
+        out = mlp_chain_pallas(x, params, relu, pool, interpret=True)
+
+        t = x.astype(jnp.bfloat16)
+        for i, ((w, b), r) in enumerate(zip(params, relu)):
+            t = jnp.dot(t, w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) + b
+            if r:
+                t = jnp.maximum(t, 0.0)
+            if i + 1 < len(params):
+                t = t.astype(jnp.bfloat16)
+        if pool:
+            t = jnp.max(t.reshape(-1, pool, t.shape[1]), axis=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(t), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_shared_mlp_fused_eval_matches_flax(monkeypatch):
+    """SharedMLP's fused inference path (BN folded, pooled) == normal path."""
+    import jax
+    from s4g_tpu.models.nn_layers import SharedMLP
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 6, 16, 5).astype(np.float32))  # (B,M,K,C)
+    mlp = SharedMLP((8, 12), dtype=jnp.float32)
+    # init with train=True so batch_stats exist and differ from init
+    vs = mlp.init(jax.random.key(0), x, train=False)
+    # give running stats non-trivial values
+    vs = jax.tree.map(lambda a: a, vs)
+    import flax
+    stats = flax.core.unfreeze(vs)["batch_stats"]
+    for layer in stats.values():
+        layer["bn"]["mean"] = jnp.asarray(
+            rng.randn(*layer["bn"]["mean"].shape).astype(np.float32) * 0.1)
+        layer["bn"]["var"] = jnp.asarray(
+            rng.rand(*layer["bn"]["var"].shape).astype(np.float32) + 0.5)
+    vs = {"params": flax.core.unfreeze(vs)["params"], "batch_stats": stats}
+
+    monkeypatch.setenv("S4G_MLP_IMPL", "xla")
+    ref_out = mlp.apply(vs, x, train=False, max_pool_k=16)
+    monkeypatch.setenv("S4G_MLP_IMPL", "pallas_interpret")
+    fused = mlp.apply(vs, x, train=False, max_pool_k=16)
+    assert fused.shape == ref_out.shape == (2, 6, 12)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_out),
+                               atol=2e-2)  # bf16 folded-BN tolerance
+
+    # un-pooled inputs stay on the XLA path (measured faster there) even
+    # when forcing — both calls must agree exactly
+    y = jnp.asarray(rng.randn(2, 50, 5).astype(np.float32))
+    monkeypatch.setenv("S4G_MLP_IMPL", "xla")
+    a = mlp.apply(vs, y, train=False)
+    monkeypatch.setenv("S4G_MLP_IMPL", "pallas_interpret")
+    b = mlp.apply(vs, y, train=False)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+@pytest.mark.slow
+def test_collision_counts_pallas_interpret():
+    """Fused collision-count kernel == XLA einsum path (incl. valid mask)."""
+    from s4g_tpu.ops.pallas.collision_kernels import collision_counts_pallas
+    from s4g_tpu.pipeline.collision import batch_view_non_collision
+
+    rng = np.random.RandomState(4)
+    g, n = 70, 900
+    poses = np.tile(np.eye(4, dtype=np.float32), (g, 1, 1))
+    import s4g_tpu.utils.math_utils as mu
+    rots = np.linalg.qr(rng.randn(g, 3, 3))[0].astype(np.float32)
+    poses[:, :3, :3] = rots
+    poses[:, :3, 3] = rng.rand(g, 3).astype(np.float32) * 0.2 - 0.1
+    cloud = (rng.rand(n, 3).astype(np.float32) * 0.4 - 0.2)
+    valid = rng.rand(n) > 0.2
+
+    g2l = jnp.asarray(poses)
+    cv = jnp.concatenate([jnp.asarray(cloud),
+                          jnp.asarray(valid.astype(np.float32))[:, None]], 1)
+    back_p, fing_p = collision_counts_pallas(g2l, cv, interpret=True)
+
+    ok_x = batch_view_non_collision(g2l, jnp.asarray(cloud),
+                                    valid=jnp.asarray(valid), impl="xla")
+    # reproduce raw counts from the XLA mask helpers
+    from s4g_tpu.pipeline.collision import gripper_local_masks
+    homo = jnp.concatenate([jnp.asarray(cloud).T, jnp.ones((1, n))], axis=0)
+    local = jnp.einsum("gij,jn->gin", g2l, homo)
+    masks = gripper_local_masks(local[:, :3, :], jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(back_p).astype(int),
+                                  np.asarray(jnp.sum(masks["back"], -1)))
+    np.testing.assert_array_equal(np.asarray(fing_p).astype(int),
+                                  np.asarray(jnp.sum(masks["fingers"], -1)))
+    ok_p = batch_view_non_collision(g2l, jnp.asarray(cloud),
+                                    valid=jnp.asarray(valid), impl="xla")
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_x))
