@@ -76,6 +76,7 @@ class GraspDetector:
         self._enable_voxel = enable_voxel_downsample
         self._enable_outlier = enable_outlier_removal
         self._key = jax.random.key(seed)
+        self._np_rng = np.random.RandomState(seed)
 
         if variables is not None:
             self.variables = variables
@@ -195,7 +196,9 @@ class GraspDetector:
         """(n, 3) -> padded (capacity, 3) + valid mask."""
         n = cloud_array.shape[0]
         if n > self.cloud_capacity:
-            sel = np.random.choice(n, self.cloud_capacity, replace=False)
+            # Seeded (unlike reference grasp_detector.py:87-89's bare
+            # np.random.choice) so a fixed-seed detector is reproducible.
+            sel = self._np_rng.choice(n, self.cloud_capacity, replace=False)
             cloud_array = cloud_array[sel]
             n = self.cloud_capacity
         out = np.zeros((self.cloud_capacity, 3), np.float32)

@@ -24,16 +24,18 @@ def chained_timer(fn, args, n_lo=5, n_hi=25):
     import jax.numpy as jnp
 
     def make(n):
+        # Feedback uses *1e-45 (== +0.0 after f32 rounding) rather than *0.0:
+        # XLA constant-folds 0.0*x and dead-code-eliminates the loop body.
         @jax.jit
         def run(*a):
             def body(i, acc):
-                eps = 0.0 * acc
+                eps = acc * 1e-45
                 pert = [x + eps if jnp.issubdtype(x.dtype, jnp.floating)
                         else x for x in a]
                 out = fn(*pert)
                 leaves = jax.tree.leaves(out)
                 s = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-                return acc + 0.0 * s + 1.0
+                return acc + s * 1e-45 + 1.0
             return lax_fori(0, n, body, jnp.float32(0.0))
         from jax import lax as _lax
         lax_fori = _lax.fori_loop
