@@ -37,15 +37,27 @@ def _cf(x: Array) -> Array:
 
 
 def gather_cl(x: Array, index: Array) -> Array:
-    """Gather rows: (B, N, C) x (B, M) -> (B, M, C)."""
-    return jnp.take_along_axis(x, index[..., None], axis=1)
+    """Gather rows: (B, N, C) x (B, M) -> (B, M, C).
+
+    Flattened to ONE single-table gather with batch-offset indices: XLA's
+    row-gather costs ~3 ns/row on v5e regardless of row width, but its
+    *batched* gather lowering degrades super-linearly in B (measured 2.5x
+    per scene at B=4), while a flat gather stays linear."""
+    b, n, c = x.shape
+    if b == 1:
+        return jnp.take_along_axis(x, index[..., None], axis=1)
+    off = jnp.arange(b, dtype=index.dtype)[:, None] * n
+    flat = jnp.take_along_axis(
+        x.reshape(1, b * n, c),
+        (index + off).reshape(1, -1)[..., None], axis=1)
+    return flat.reshape(b, index.shape[1], c)
 
 
 def group_cl(x: Array, index: Array) -> Array:
     """Group rows: (B, N, C) x (B, M, K) -> (B, M, K, C)."""
     b, _, c = x.shape
     m, k = index.shape[1], index.shape[2]
-    out = jnp.take_along_axis(x, index.reshape(b, m * k)[..., None], axis=1)
+    out = gather_cl(x, index.reshape(b, m * k))
     return out.reshape(b, m, k, c)
 
 
@@ -87,9 +99,15 @@ class PointNetSAModule(nn.Module):
 
             nbr_index, _ = ops.ball_query(
                 _cf(xyz), _cf(new_xyz), self.radius, self.num_neighbours)
-            group_xyz = group_cl(xyz, nbr_index) - new_xyz[:, :, None, :]
             if feature is not None:
-                gf = group_cl(feature, nbr_index)
+                # ONE combined [xyz || feature] gather: a second width-3
+                # gather costs as much as the wide one (XLA row gathers are
+                # row-count bound, ~3 ns/row on v5e), so fold xyz into the
+                # feature rows before gathering.
+                both = group_cl(jnp.concatenate([xyz, feature], axis=-1),
+                                nbr_index)
+                group_xyz = both[..., :3] - new_xyz[:, :, None, :]
+                gf = both[..., 3:]
                 parts = [gf]
                 if self.edge:
                     # neighbour-minus-centroid edge features
@@ -99,6 +117,7 @@ class PointNetSAModule(nn.Module):
                     parts = [group_xyz] + parts
                 group_feature = jnp.concatenate(parts, axis=-1)
             else:
+                group_xyz = group_cl(xyz, nbr_index) - new_xyz[:, :, None, :]
                 group_feature = group_xyz
 
         mlp = SharedMLP(self.mlp_channels, dtype=self.dtype, name="mlp")

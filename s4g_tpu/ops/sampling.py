@@ -56,17 +56,29 @@ def _fps_xla(points: Array, num_centroids: int) -> Array:
     return out
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, num_points, num_centroids):
-    """One batch element. Refs: x/y/z (R, 128) planes, out (M_pad/128, 128)
-    i32 (row-major linear slots).
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, num_points, num_centroids,
+                group):
+    """One group of `group` batch elements, interleaved in ONE loop.
+
+    Refs: x/y/z (group, R, 128) planes, out (group, M_pad/128, 128) i32
+    (row-major linear slots).
 
     Per-iteration cost is kept to the distance/argmax passes: the running
-    min-distance field lives in the fori_loop carry (vector registers, no
+    min-distance fields live in the fori_loop carry (vector registers, no
     VMEM round-trip), the current point is read with ONE dynamic-sublane
     row read + lane mask per plane (not a full-plane masked reduction), and
-    selected indices accumulate in a rolling 128-lane register row flushed
-    once every 128 iterations (not a masked write over the whole output)."""
-    rows = x_ref.shape[0]
+    selected indices accumulate in rolling 128-lane register rows flushed
+    once every 128 iterations (not a masked write over the whole output).
+
+    Why a group: a single chain is LATENCY-bound — each iteration serializes
+    distance pass -> min -> max-reduce -> index-reduce -> scalar hop, and a
+    2x unroll measures flat because consecutive iterations depend on each
+    other.  Independent batch elements have independent chains, so
+    interleaving `group` of them fills the reduce/scalar latency bubbles
+    (measured on v5e: 2.57 -> 1.76 ms/scene at group=2; group=4 regresses to
+    2.33 -- four (200, 128) f32 min-distance fields exceed what the
+    scheduler can keep resident, so 2 is the default)."""
+    rows = x_ref.shape[1]
     lin = (lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
            + lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1))
     # Padded tail can never be selected: its min-distance stays at -1.
@@ -76,71 +88,85 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, *, num_points, num_centroids):
 
     big = jnp.int32(rows * _LANES)
     # Slot 0 is always point 0 (sampling_kernel.cu:67): the zero init of the
-    # rolling row already encodes it.
+    # rolling rows already encodes it.
     acc0 = jnp.zeros((1, _LANES), jnp.int32)
 
     def body(i, carry):
-        cur, acc, min_d = carry
-        row = cur // _LANES
-        lane_sel = lane == (cur % _LANES)
-        x_row = x_ref[pl.ds(row, 1), :]
-        y_row = y_ref[pl.ds(row, 1), :]
-        z_row = z_ref[pl.ds(row, 1), :]
-        cx = jnp.max(jnp.where(lane_sel, x_row, -jnp.inf))
-        cy = jnp.max(jnp.where(lane_sel, y_row, -jnp.inf))
-        cz = jnp.max(jnp.where(lane_sel, z_row, -jnp.inf))
-        dx = x_ref[:] - cx
-        dy = y_ref[:] - cy
-        dz = z_ref[:] - cz
-        d = dx * dx + dy * dy + dz * dz
-        md = jnp.minimum(min_d, d)
-        max_val = jnp.max(md)
-        # Lowest linear index attaining the max (deterministic tie-break).
-        nxt = jnp.min(jnp.where(md == max_val, lin, big))
-        acc = jnp.where(lane == (i % _LANES), nxt, acc)
+        new = []
+        for e in range(group):
+            cur, acc, min_d = carry[e]
+            row = cur // _LANES
+            lane_sel = lane == (cur % _LANES)
+            x_row = x_ref[e, pl.ds(row, 1), :]
+            y_row = y_ref[e, pl.ds(row, 1), :]
+            z_row = z_ref[e, pl.ds(row, 1), :]
+            cx = jnp.max(jnp.where(lane_sel, x_row, -jnp.inf))
+            cy = jnp.max(jnp.where(lane_sel, y_row, -jnp.inf))
+            cz = jnp.max(jnp.where(lane_sel, z_row, -jnp.inf))
+            dx = x_ref[e] - cx
+            dy = y_ref[e] - cy
+            dz = z_ref[e] - cz
+            d = dx * dx + dy * dy + dz * dz
+            md = jnp.minimum(min_d, d)
+            max_val = jnp.max(md)
+            # Lowest linear index attaining the max (deterministic tie-break).
+            nxt = jnp.min(jnp.where(md == max_val, lin, big))
+            acc = jnp.where(lane == (i % _LANES), nxt, acc)
+            new.append((nxt, acc, md))
 
         @pl.when(i % _LANES == _LANES - 1)
         def _flush():
-            out_ref[pl.ds(i // _LANES, 1), :] = acc
+            for e in range(group):
+                out_ref[e, pl.ds(i // _LANES, 1), :] = new[e][1]
 
-        return nxt, acc, md
+        return tuple(new)
 
-    _, acc, _ = lax.fori_loop(1, num_centroids, body,
-                              (jnp.int32(0), acc0, md0), unroll=False)
-    if num_centroids % _LANES != 0:  # static: flush the partial final row
-        out_ref[pl.ds((num_centroids - 1) // _LANES, 1), :] = acc
+    final = lax.fori_loop(1, num_centroids, body,
+                          tuple((jnp.int32(0), acc0, md0)
+                                for _ in range(group)), unroll=False)
+    if num_centroids % _LANES != 0:  # static: flush the partial final rows
+        for e in range(group):
+            out_ref[e, pl.ds((num_centroids - 1) // _LANES, 1), :] = \
+                final[e][1]
 
 
-def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False) -> Array:
+def _fps_pallas(points: Array, num_centroids: int, *, interpret: bool = False,
+                group: int | None = None) -> Array:
     b, _, n = points.shape
     n_pad = ((n + _LANES - 1) // _LANES) * _LANES
     rows = n_pad // _LANES
-    planes = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 0), (0, n_pad - n)))
-    planes = planes.reshape(b, 3, rows, _LANES)
+    if group is None:
+        import os
+        group = int(os.environ.get("S4G_FPS_GROUP", "2"))
+    group = max(1, min(group, b))
+    b_pad = ((b + group - 1) // group) * group
+    planes = jnp.pad(points.astype(jnp.float32),
+                     ((0, b_pad - b), (0, 0), (0, n_pad - n)))
+    planes = planes.reshape(b_pad, 3, rows, _LANES)
     # Mosaic requires the minor output dim to be lane-aligned (128); output
     # slots are row-major linear over a (M_pad/128, 128) grid.
     m_pad = ((num_centroids + _LANES - 1) // _LANES) * _LANES
     rows_out = m_pad // _LANES
 
     kernel = functools.partial(
-        _fps_kernel, num_points=n, num_centroids=num_centroids)
+        _fps_kernel, num_points=n, num_centroids=num_centroids, group=group)
 
     def squeeze_kernel(x_ref, y_ref, z_ref, out_ref):
-        kernel(x_ref.at[0, 0], y_ref.at[0, 0], z_ref.at[0, 0], out_ref.at[0])
+        kernel(x_ref.at[:, 0], y_ref.at[:, 0], z_ref.at[:, 0], out_ref)
 
     out = pl.pallas_call(
         squeeze_kernel,
-        grid=(b,),
+        grid=(b_pad // group,),
         in_specs=[
-            pl.BlockSpec((1, 1, rows, _LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((group, 1, rows, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] * 3,
-        out_specs=pl.BlockSpec((1, rows_out, _LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((group, rows_out, _LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, rows_out, _LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, rows_out, _LANES), jnp.int32),
         interpret=interpret,
     )(planes[:, 0:1], planes[:, 1:2], planes[:, 2:3])
-    return out.reshape(b, m_pad)[:, :num_centroids]
+    return out.reshape(b_pad, m_pad)[:b, :num_centroids]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
