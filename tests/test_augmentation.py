@@ -96,6 +96,7 @@ class TestAugmentations:
             build_augmentation(("NoSuchAug",))
 
 
+@pytest.mark.slow
 def test_training_overfits_one_batch():
     """Loss must drop when overfitting a single batch — validates the whole
     train step (augment off), the missing-trainer reconstruction."""

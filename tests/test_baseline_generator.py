@@ -12,6 +12,8 @@ from s4g_tpu.datagen.baseline_generator import (collate_baseline_batch,
                                                 scene_from_ply)
 from test_datagen_grading import make_box_cloud
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene():

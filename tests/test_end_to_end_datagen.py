@@ -55,6 +55,7 @@ def test_generate_end_to_end_and_train(tmp_path):
     assert batch["scene_movable_labels"].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_grade_object_produces_valid_fields():
     verts, tris = _box_mesh(0.03)
     data = grade_object(verts, tris, num_points=1500,

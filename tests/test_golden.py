@@ -12,6 +12,7 @@ INTENTIONAL numerics change with:  python tests/test_golden.py --regen
 import os
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -125,10 +126,10 @@ def _run_golden_detector(tmp_dir):
     return poses[order], scores[order]
 
 
+@pytest.mark.slow
 def test_detector_end_to_end_golden(tmp_path):
     """The committed snapshot must reproduce at f32 tolerance (VERDICT r1
     weak #7): catches pipeline drift that per-op goldens miss."""
-    import pytest
     if not os.path.exists(REFERENCE_SCENE):
         pytest.skip("bundled scene not available")
     assert os.path.exists(GOLDEN_E2E), (

@@ -57,10 +57,12 @@ def rng():
 
 
 @pytest.mark.parametrize("model_type,t_is_cls,score_key", [
-    ("PN2", False, "scene_score_logits"),
+    pytest.param("PN2", False, "scene_score_logits",
+                 marks=pytest.mark.slow),
     ("PN2_CLS", True, "score"),
     ("EDGEPN2D", False, "scene_score_logits"),
-    ("EDGEPN2DU", False, "scene_score_logits"),
+    pytest.param("EDGEPN2DU", False, "scene_score_logits",
+                 marks=pytest.mark.slow),
 ])
 def test_pn2_family_forward_loss_grad(rng, model_type, t_is_cls, score_key):
     section = model_type if model_type.startswith("EDGE") else "PN2"
@@ -110,6 +112,7 @@ def test_rot6d_gives_orthonormal_rotations(rng):
     np.testing.assert_allclose(det, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pn2_local_both_modes(rng):
     cfg = _tiny_cfg("PN2_LOCAL")
     net, loss_fn, metric_fn = build_model(cfg)

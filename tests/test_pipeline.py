@@ -193,6 +193,7 @@ class TestPostProcessing:
         assert (idx == 7).all()
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
 def test_detector_end_to_end_tiny(tmp_path, rng):
@@ -236,6 +237,7 @@ def test_detector_end_to_end_tiny(tmp_path, rng):
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
+@pytest.mark.slow
 def test_detector_batched_multi_scene(tmp_path, rng):
     """Batched multi-scene inference (BASELINE config #3)."""
     import yaml
@@ -273,6 +275,7 @@ def test_detector_batched_multi_scene(tmp_path, rng):
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
+@pytest.mark.slow
 def test_detector_contact_model_regression_t(tmp_path, rng):
     """The contact (PN2 regression-t) model must run through the detector."""
     import yaml

@@ -72,6 +72,7 @@ def cfg():
         "DATA": {"SCORE_CLASSES": 3}})
 
 
+@pytest.mark.slow
 def test_import_matches_init_structure(cfg):
     rng = np.random.RandomState(0)
     sd = _torch_style_state_dict(rng)

@@ -120,6 +120,7 @@ class TestOptim:
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
+@pytest.mark.slow
 def test_data_parallel_training_on_mesh(tmp_path):
     """Two real train steps, batch sharded over the 8-device CPU mesh."""
     # materialize a small dataset from the bundled scene
@@ -164,6 +165,7 @@ def test_data_parallel_training_on_mesh(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
+@pytest.mark.slow
 def test_trainer_fit_and_resume(tmp_path):
     """fit() trains, checkpoints, and a NEW Trainer resumes at the right
     epoch (AUTO_RESUME semantics, reference checkpoint.py:45-53)."""

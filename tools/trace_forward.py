@@ -29,39 +29,34 @@ def capture(fn, args, trace_dir):
     return out
 
 
-def parse_xplane(trace_dir, top):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+def parse_trace(trace_dir, top, reps=8):
+    """Aggregate per-op device time from the Chrome trace JSON the profiler
+    writes alongside the xplane (the 'XLA Ops' thread of the TPU process).
+    `while` wrappers double-count their body ops, so they are listed but
+    excluded from the leaf total."""
+    import gzip
+    import json
 
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
-    assert paths, f"no xplane.pb under {trace_dir}"
-    xspace = xplane_pb2.XSpace()
-    with open(sorted(paths)[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "Device" not in plane.name:
-            continue
-        ev_names = {m.id: m.name for m in plane.event_metadata.values()} \
-            if hasattr(plane.event_metadata, "values") else {}
-        # event_metadata is a map<int64, XEventMetadata>
-        ev_names = {k: v.name for k, v in plane.event_metadata.items()}
-        totals = defaultdict(float)
-        counts = defaultdict(int)
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "XLA Op" != line.name:
-                continue
-            for ev in line.events:
-                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
-                totals[name] += ev.duration_ps / 1e9  # ms
-                counts[name] += 1
-        if not totals:
-            continue
-        grand = sum(totals.values())
-        print(f"\n=== plane: {plane.name} — total XLA-op time "
-              f"{grand:.3f} ms over the traced window ===")
-        for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"{ms:9.3f} ms  x{counts[name]:<4d} {name[:110]}")
+    assert paths, f"no trace.json.gz under {trace_dir}"
+    tr = json.load(gzip.open(sorted(paths)[-1]))
+    tids = {}
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    totals = defaultdict(float)
+    counts = defaultdict(int)
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "X" and \
+                "XLA Ops" in tids.get((e["pid"], e["tid"]), ""):
+            totals[e["name"]] += e["dur"] / 1e3  # ms
+            counts[e["name"]] += 1
+    leaf = sum(ms for n, ms in totals.items() if not n.startswith("while"))
+    print(f"\n=== device XLA-op time: {leaf / reps:.3f} ms/exec "
+          f"(leaves, {reps} reps) ===")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms / reps:9.3f} ms  x{counts[name] // reps:<4d} {name[:90]}")
 
 
 def main():
@@ -117,7 +112,7 @@ def main():
                                           train=False))
         capture(fwd, (pts,), args.trace_dir)
 
-    parse_xplane(args.trace_dir, args.top)
+    parse_trace(args.trace_dir, args.top)
 
 
 if __name__ == "__main__":
