@@ -1,0 +1,143 @@
+"""Deployment-scale training run (VERDICT r1 weak #6 / next-round #5).
+
+Exercises BASELINE config #4 at the released curvature_model geometry —
+25,600 input points, SA centroids 5120/1024/256, full channel widths,
+batch >= 4 — for a few hundred steps on the TPU, with synthetic scenes from
+the in-repo data factory (MuJoCo sim -> z-buffer render -> Darboux grading
+-> label transfer -> merge).  Records step time and the loss curve.
+
+Usage:
+    python tools/train_at_scale.py --out /tmp/s4g_scale --scenes 8 \
+        --steps 300 --batch 4
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def box_mesh(hx, hy, hz):
+    corners = np.array([[x, y, z] for x in (-hx, hx)
+                        for y in (-hy, hy) for z in (-hz, hz)])
+    tris = np.array([
+        [0, 1, 2], [1, 3, 2], [4, 6, 5], [5, 6, 7],
+        [0, 4, 1], [1, 4, 5], [2, 3, 6], [3, 7, 6],
+        [0, 2, 4], [2, 6, 4], [1, 5, 3], [3, 5, 7]])
+    return corners.astype(np.float64), tris
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="/tmp/s4g_scale")
+    parser.add_argument("--scenes", type=int, default=8)
+    parser.add_argument("--views", type=int, default=2)
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--num-points", type=int, default=25600)
+    parser.add_argument("--skip-datagen", action="store_true")
+    args = parser.parse_args()
+
+    from s4g_tpu.configs.config import load_cfg_from_dict
+    from s4g_tpu.datagen.generate import generate_end_to_end
+    from s4g_tpu.datagen.scene_sim import ObjectSpec
+    from s4g_tpu.train import SceneGraspDataset, Trainer
+
+    os.makedirs(args.out, exist_ok=True)
+    sizes = [(0.030, 0.030, 0.030), (0.025, 0.025, 0.045),
+             (0.020, 0.035, 0.028), (0.033, 0.022, 0.040)]
+    meshes = {f"obj{i}": box_mesh(*s) for i, s in enumerate(sizes)}
+    specs = [ObjectSpec(name=f"obj{i}", geom_type="box",
+                        size=f"{s[0]} {s[1]} {s[2]}")
+             for i, s in enumerate(sizes)]
+
+    data_dir = os.path.join(args.out, "merged_data")
+    if not args.skip_datagen:
+        tic = time.time()
+        total = 0
+        for scene_id in range(args.scenes):
+            merged = generate_end_to_end(
+                meshes, specs, args.out, scene_id=scene_id,
+                num_views=args.views, percentage=1.1, seed=scene_id,
+                label_capacity=16384, render_wh=(640, 480))
+            total += len(merged)
+            print(f"[datagen] scene {scene_id}: {len(merged)} views "
+                  f"({time.time() - tic:.0f}s elapsed)", flush=True)
+        print(f"[datagen] {total} views in {time.time() - tic:.0f}s",
+              flush=True)
+
+    ds = SceneGraspDataset(data_dir, num_points=args.num_points,
+                           score_classes=3, batch_size=args.batch,
+                           num_frame_points=512, seed=0)
+    steps_per_epoch = max(1, len(ds))
+    epochs = max(1, (args.steps + steps_per_epoch - 1) // steps_per_epoch)
+
+    # Deployment geometry: released curvature_model.yaml architecture.
+    cfg = load_cfg_from_dict({
+        "MODEL": {"TYPE": "PN2_CLS", "PN2": {
+            "NUM_INPUT": args.num_points,
+            "NUM_CENTROIDS": (5120, 1024, 256),
+            "RADIUS": (0.02, 0.08, 0.32),
+            "NUM_NEIGHBOURS": (64, 64, 64),
+            "SA_CHANNELS": ((128, 128, 256), (256, 256, 512),
+                            (512, 512, 1024)),
+            "FP_CHANNELS": ((1024, 1024), (512, 512), (256, 256, 256)),
+            "NUM_FP_NEIGHBOURS": (3, 3, 3),
+            "SEG_CHANNELS": (512, 256, 256, 128),
+            "NEG_WEIGHT": 0.5,
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "SOLVER": {"TYPE": "Adam", "BASE_LR": 0.001},
+        "SCHEDULER": {"MAX_EPOCH": epochs, "TYPE": "StepLR",
+                      "StepLR": {"step_size": 4000, "gamma": 0.5}},
+        "TRAIN": {"BATCH_SIZE": args.batch, "LOG_PERIOD": 2,
+                  "CHECKPOINT_PERIOD": 10000,
+                  "AUGMENTATION": ("PointCloudRotate",)},
+    })
+    print(f"[train] {len(ds)} batches/epoch x {epochs} epochs "
+          f"(batch {args.batch}, {args.num_points} pts)", flush=True)
+
+    trainer = Trainer(cfg, output_dir=os.path.join(args.out, "train_out"),
+                      steps_per_epoch=steps_per_epoch)
+    t0 = time.time()
+    state = trainer.fit(ds)
+    wall = time.time() - t0
+    steps = int(state.step)
+    print(f"[train] {steps} steps in {wall:.0f}s "
+          f"({wall / max(1, steps):.3f} s/step incl. compile+host)",
+          flush=True)
+
+    # Steady-state step time, measured separately from the fit wall clock.
+    import jax
+    from s4g_tpu.parallel.mesh import shard_batch
+    batch = next(iter(ds))
+    sharded = shard_batch(trainer.mesh, batch)
+    state, scalars = trainer._train_step(state, sharded, jax.random.key(0))
+    jax.block_until_ready(scalars)         # warm (donated-state recompile)
+    t1 = time.time()
+    reps = 10
+    for i in range(reps):
+        state, scalars = trainer._train_step(state, sharded,
+                                             jax.random.key(i))
+    jax.block_until_ready(scalars)
+    steady = (time.time() - t1) / reps
+    summary = {
+        "steps": steps,
+        "steady_state_s_per_step": round(steady, 3),
+        "final_scalars": {k: round(float(v), 4) for k, v in scalars.items()},
+        "wall_s": round(wall, 1),
+        "batch": args.batch,
+        "num_points": args.num_points,
+    }
+    print("[summary] " + json.dumps(summary), flush=True)
+    with open(os.path.join(args.out, "scale_run.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
