@@ -185,12 +185,16 @@ def ball_query(points: Array, centroids: Array, radius: float,
     cent = cent.reshape(b, 3, num_chunks, chunk).transpose(0, 2, 1, 3)
 
     if b == 1:
-        # Single-scene: plain chunk map (the flat variant's per-chunk
-        # dynamic point-set index blocks fusion and costs +0.5 ms here).
-        def per_chunk1(cent_c):
-            d = pairwise_sqdist_exact(cent_c, points[0])
-            return _first_k_in_range(d, radius2, num_neighbours)
-        idx, count = lax.map(per_chunk1, cent[0])
+        # Single-scene: vmapped chunk map, exactly the fastest measured
+        # lowering (the flat variant's per-chunk dynamic point-set index
+        # blocks fusion and costs +0.5 ms; dropping the size-1 vmap also
+        # measures slower).
+        def per_batch(cent_b, pts_b):
+            def per_chunk1(cent_c):
+                d = pairwise_sqdist_exact(cent_c, pts_b)
+                return _first_k_in_range(d, radius2, num_neighbours)
+            return lax.map(per_chunk1, cent_b)
+        idx, count = jax.vmap(per_batch)(cent, points)
         idx = idx.reshape(1, m + pad, num_neighbours)[:, :m]
         count = count.reshape(1, m + pad)[:, :m]
         return idx, count
