@@ -75,6 +75,12 @@ class PN2Config:
     DROPOUT_PROB: float = 0.5
     LABEL_SMOOTHING: float = 0.0
     NEG_WEIGHT: float = 1.0
+    # TPU deployment knob (no reference equivalent): internally reorder the
+    # cloud along its widest axis so stage-1 ball query prunes to
+    # contiguous slabs (~2.7x on that stage).  Off by default: it re-rolls
+    # the arbitrary scan order, so per-point outputs differ from the
+    # unsorted run at neighbour-selection level (docs/divergences.md).
+    SORT_POINTS: bool = False
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,7 @@ def _pn2_kwargs(cfg: Config, section) -> dict:
         num_fp_neighbours=section.NUM_FP_NEIGHBOURS,
         seg_channels=section.SEG_CHANNELS,
         dropout_prob=section.DROPOUT_PROB,
+        sort_points=section.SORT_POINTS,
         dtype=_dtype(cfg),
     )
 

@@ -78,7 +78,11 @@ class PointNetSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: Array, feature: Optional[Array],
-                 train: bool = False) -> Tuple[Array, Array]:
+                 train: bool = False,
+                 sorted_axis: Optional[Array] = None) -> Tuple[Array, Array]:
+        """`sorted_axis`: traced scalar hint that `xyz` is sorted ascending
+        along that coordinate — enables the slab-pruned ball query
+        (ops/neighbors.py); results are identical to the full scan."""
         b = xyz.shape[0]
         if self.num_centroids == 0:
             # Global stage: one centroid at the origin, group = all points.
@@ -98,7 +102,8 @@ class PointNetSAModule(nn.Module):
                                     if feature is not None else None)
 
             nbr_index, _ = ops.ball_query(
-                _cf(xyz), _cf(new_xyz), self.radius, self.num_neighbours)
+                _cf(xyz), _cf(new_xyz), self.radius, self.num_neighbours,
+                sorted_axis=sorted_axis)
             if feature is not None:
                 # ONE combined [xyz || feature] gather: a second width-3
                 # gather costs as much as the wide one (XLA row gathers are

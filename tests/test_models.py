@@ -189,3 +189,36 @@ def test_weighted_ce_matches_torch_semantics():
                             torch.tensor(np.asarray(target, dtype=np.int64)),
                             torch.tensor(np.asarray(w))).item()
     assert abs(got - want) < 1e-5
+
+
+def test_sort_points_permutation_equivariant(rng):
+    """With SORT_POINTS the backbone's internal order is the widest-axis
+    sort — a permutation-invariant canonical order — so permuting the
+    input cloud must permute the per-point outputs identically (ties
+    aside), proving the exit unsort restores the caller's order."""
+    cfg = load_cfg_from_dict({
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": N, "SORT_POINTS": True,
+            "NUM_CENTROIDS": (16, 8),
+            "RADIUS": (0.1, 0.3),
+            "NUM_NEIGHBOURS": (8, 8),
+            "SA_CHANNELS": ((8, 16), (16, 32)),
+            "FP_CHANNELS": ((16, 16), (16, 8)),
+            "NUM_FP_NEIGHBOURS": (3, 3),
+            "SEG_CHANNELS": (16,),
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+    })
+    net, _, _ = build_model(cfg)
+    pts = jnp.asarray(rng.randn(1, 3, N).astype(np.float32))
+    variables = net.init(jax.random.key(0), {"scene_points": pts},
+                         train=False)
+    out = net.apply(variables, {"scene_points": pts}, train=False)
+
+    perm = rng.permutation(N)
+    out_p = net.apply(variables,
+                      {"scene_points": pts[:, :, perm]}, train=False)
+    for key in ("score", "frame_R", "frame_t", "movable_logits"):
+        np.testing.assert_allclose(np.asarray(out[key])[:, :, perm],
+                                   np.asarray(out_p[key]), atol=1e-5,
+                                   err_msg=key)

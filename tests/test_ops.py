@@ -136,3 +136,42 @@ class TestInterpolate:
         f = lambda x: jnp.sum(ops.feature_interpolate(x, jnp.asarray(idx), jnp.asarray(w)))
         grad = np.asarray(jax.grad(f)(jnp.asarray(feat)))
         assert np.isfinite(grad).all() and np.abs(grad).sum() > 0
+
+
+class TestBallQuerySortedPruned:
+    """Slab-pruned ball query must match the full scan EXACTLY when points
+    are sorted along the hint axis (s4g_tpu/ops/neighbors.py)."""
+
+    @pytest.mark.parametrize("axis", [0, 1, 2])
+    def test_matches_full_scan(self, rng, axis):
+        n, m = 9000, 700
+        pts = rng.rand(1, 3, n).astype(np.float32) * 0.6
+        pts[0, 2] *= 0.2
+        order = np.argsort(pts[0, axis], kind="stable")
+        pts = pts[:, :, order]
+        cents = pts[:, :, rng.choice(n, m, replace=False)]
+        full_i, full_c = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents),
+                                        0.03, 32)
+        pr_i, pr_c = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents),
+                                    0.03, 32, sorted_axis=jnp.int32(axis),
+                                    slab_capacity=4096)
+        np.testing.assert_array_equal(np.asarray(pr_i), np.asarray(full_i))
+        np.testing.assert_array_equal(np.asarray(pr_c), np.asarray(full_c))
+
+    def test_degenerate_overflow_falls_back(self, rng):
+        """All points share one axis value: every slab overflows and the
+        cond fallback must still give the exact full-scan result."""
+        n, m = 9000, 256
+        pts = rng.rand(1, 3, n).astype(np.float32)
+        pts[0, 0] = 0.5                      # constant sort axis
+        order = np.argsort(pts[0, 0], kind="stable")
+        pts = pts[:, :, order]
+        cents = pts[:, :, rng.choice(n, m, replace=False)]
+        full_i, full_c = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents),
+                                        0.05, 16)
+        pr_i, pr_c = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents),
+                                    0.05, 16, sorted_axis=jnp.int32(0),
+                                    slab_capacity=4096)
+        np.testing.assert_array_equal(np.asarray(pr_i), np.asarray(full_i))
+        np.testing.assert_array_equal(np.asarray(pr_c), np.asarray(full_c))
+

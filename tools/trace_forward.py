@@ -52,7 +52,8 @@ def parse_trace(trace_dir, top, reps=8):
                 "XLA Ops" in tids.get((e["pid"], e["tid"]), ""):
             totals[e["name"]] += e["dur"] / 1e3  # ms
             counts[e["name"]] += 1
-    leaf = sum(ms for n, ms in totals.items() if not n.startswith("while"))
+    leaf = sum(ms for n, ms in totals.items()
+               if not (n.startswith("while") or n.startswith("cond")))
     print(f"\n=== device XLA-op time: {leaf / reps:.3f} ms/exec "
           f"(leaves, {reps} reps) ===")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
