@@ -308,3 +308,42 @@ def test_detector_contact_model_regression_t(tmp_path, rng):
         eye = np.einsum("nij,nkj->nik", r, r)
         np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(r), 1, 1)),
                                    atol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+def test_detector_sorted_fast_path(tmp_path, rng):
+    """Detector integration of MODEL.PN2.SORT_POINTS (the deployment
+    configuration): sorted backbone + slab-pruned ball query must produce
+    valid orthonormal poses end-to-end."""
+    import yaml
+    cfg = {
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": 512,
+            "SORT_POINTS": True,
+            "NUM_CENTROIDS": "(128, 32)",
+            "RADIUS": "(0.05, 0.2)",
+            "NUM_NEIGHBOURS": "(16, 16)",
+            "SA_CHANNELS": "((16, 32), (32, 64))",
+            "FP_CHANNELS": "((32, 32), (32, 32))",
+            "NUM_FP_NEIGHBOURS": "(3, 3)",
+            "SEG_CHANNELS": "(32,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = tmp_path / "sorted.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    from s4g_tpu.pipeline.detector import GraspDetector
+    det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=4096, num_candidates=64)
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)[:4000]
+    poses, scores = det.detect(cloud, num_selected=4, score_threshold=0.0,
+                               verticalness_threshold=-1.0)
+    assert poses.shape[1:] == (4, 4) and len(poses) == len(scores)
+    if len(poses):
+        r = poses[:, :3, :3]
+        eye = np.einsum("nij,nkj->nik", r, r)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(r), 1, 1)),
+                                   atol=1e-3)
