@@ -167,6 +167,10 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                                  .repeat(3, 1), axis=2)
     ckeys_s = jnp.take_along_axis(ckeys[None], corder[None], axis=1)[0]
 
+    import os
+    use_kernel = (jax.default_backend() == "tpu"
+                  and os.environ.get("S4G_BQ_SLAB_IMPL", "pallas") != "xla")
+
     pad = (-m) % chunk
     num_chunks = (m + pad) // chunk
     # Pad by repeating the LAST sorted centroid so padded rows keep the
@@ -175,36 +179,72 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
         [cent_s, jnp.repeat(cent_s[:, :, -1:], pad, axis=2)], axis=2)
     ckeys_p = jnp.concatenate([ckeys_s, jnp.repeat(ckeys_s[-1:], pad)])
 
-    kmin = ckeys_p.reshape(num_chunks, chunk)[:, 0] - radius
-    kmax = ckeys_p.reshape(num_chunks, chunk)[:, -1] + radius
-    lo = jnp.searchsorted(pkeys, kmin, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(pkeys, kmax, side="right").astype(jnp.int32)
-    overflow = jnp.max(hi - lo) > cap
-
     cent_chunks = cent_p.reshape(3, num_chunks, chunk).transpose(1, 0, 2)
 
-    def pruned(_):
-        def per_chunk(args):
-            cent_c, lo_i = args
-            start = jnp.clip(lo_i, 0, n - cap)
-            slab = lax.dynamic_slice(points[0], (0, start), (3, cap))
-            d = pairwise_sqdist_exact(cent_c, slab)            # (chunk, cap)
-            idx_l, cnt = _first_k_in_range(d, radius2, num_neighbours)
-            # Global indices; all-zero rows (count 0) stay zero
-            # (ball_query_kernel.cu:89-133).
-            idx_g = jnp.where(cnt[:, None] > 0, idx_l + start, 0)
-            return idx_g, cnt
-        return lax.map(per_chunk, (cent_chunks, lo))
-
-    def full(_):
+    def full_flat(_):
         def per_chunk(cent_c):
             d = pairwise_sqdist_exact(cent_c, points[0])
             return _first_k_in_range(d, radius2, num_neighbours)
-        return lax.map(per_chunk, cent_chunks)
+        idx_f, cnt_f = lax.map(per_chunk, cent_chunks)
+        return (idx_f.reshape(m + pad, num_neighbours),
+                cnt_f.reshape(m + pad))
 
-    idx_s, cnt_s = lax.cond(overflow, full, pruned, operand=None)
-    idx_s = idx_s.reshape(m + pad, num_neighbours)[:m]
-    cnt_s = cnt_s.reshape(m + pad)[:m]
+    if use_kernel:
+        # Fused Pallas slab kernel: per 256-centroid tile, a 2048-aligned
+        # window of BQ_SLAB_TILES key tiles (see
+        # pallas/neighbor_kernels.py::ball_query_fused_slab_pallas).
+        from .pallas.neighbor_kernels import (BQ_C_TILE, BQ_K_TILE,
+                                              BQ_SLAB_TILES,
+                                              ball_query_fused_slab_pallas)
+        padt = (-m) % BQ_C_TILE
+        ck_t = jnp.concatenate([ckeys_s, jnp.repeat(ckeys_s[-1:], padt)])
+        ntile = (m + padt) // BQ_C_TILE
+        t_min = ck_t.reshape(ntile, BQ_C_TILE)[:, 0] - radius
+        t_max = ck_t.reshape(ntile, BQ_C_TILE)[:, -1] + radius
+        lo_t = jnp.searchsorted(pkeys, t_min, side="left").astype(jnp.int32)
+        hi_t = jnp.searchsorted(pkeys, t_max, side="right").astype(jnp.int32)
+        n_pad_k = max(-(-n // BQ_K_TILE) * BQ_K_TILE,
+                      BQ_SLAB_TILES * BQ_K_TILE)
+        max_lo = n_pad_k // BQ_K_TILE - BQ_SLAB_TILES
+        lo_tile = jnp.clip(lo_t // BQ_K_TILE, 0, max_lo)
+        overflow = jnp.max(hi_t - lo_tile * BQ_K_TILE) \
+            > BQ_SLAB_TILES * BQ_K_TILE
+
+        def kern(_):
+            radius_py = float(radius2) ** 0.5
+            i_k, c_k = ball_query_fused_slab_pallas(
+                points, cent_s, lo_tile, radius_py, num_neighbours)
+            pad_k = jnp.zeros((pad, num_neighbours), jnp.int32)
+            return (jnp.concatenate([i_k[0], pad_k], axis=0),
+                    jnp.concatenate([c_k[0], pad_k[:, 0]], axis=0))
+
+        idx_s, cnt_s = lax.cond(overflow, full_flat, kern, operand=None)
+    else:
+        kmin = ckeys_p.reshape(num_chunks, chunk)[:, 0] - radius
+        kmax = ckeys_p.reshape(num_chunks, chunk)[:, -1] + radius
+        lo = jnp.searchsorted(pkeys, kmin, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(pkeys, kmax, side="right").astype(jnp.int32)
+        overflow = jnp.max(hi - lo) > cap
+
+        def pruned(_):
+            def per_chunk(args):
+                cent_c, lo_i = args
+                start = jnp.clip(lo_i, 0, n - cap)
+                slab = lax.dynamic_slice(points[0], (0, start), (3, cap))
+                d = pairwise_sqdist_exact(cent_c, slab)        # (chunk, cap)
+                idx_l, cnt = _first_k_in_range(d, radius2, num_neighbours)
+                # Global indices; all-zero rows (count 0) stay zero
+                # (ball_query_kernel.cu:89-133).
+                idx_g = jnp.where(cnt[:, None] > 0, idx_l + start, 0)
+                return idx_g, cnt
+            idx_p, cnt_p = lax.map(per_chunk, (cent_chunks, lo))
+            return (idx_p.reshape(m + pad, num_neighbours),
+                    cnt_p.reshape(m + pad))
+
+        idx_s, cnt_s = lax.cond(overflow, full_flat, pruned, operand=None)
+
+    idx_s = idx_s[:m]
+    cnt_s = cnt_s[:m]
 
     # Back to the caller's centroid order.
     inv = jnp.argsort(corder).astype(jnp.int32)

@@ -144,7 +144,7 @@ BQ_K_TILE = 2048    # keys per inner step (KT/16 = 128-aligned pack width)
 
 def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
                      m16_scr, wsum_scr, bsum_scr, idx_scr,
-                     *, radius2, k_slots, nb_total):
+                     *, radius2, k_slots, nb_total, tile_axis=2, base=None):
     """One (centroid tile, key tile) grid step; key tiles iterate fastest.
 
     Every key tile appends its packed mask words / word popcounts / block
@@ -164,8 +164,8 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
     cnt_ref (8, C): row 0 = min(total in range, k_slots).
     """
     kt = BQ_K_TILE
-    t = pl.program_id(2)
-    num_kt = pl.num_programs(2)
+    t = pl.program_id(tile_axis)
+    num_kt = pl.num_programs(tile_axis)
 
     # ---- accumulate this key tile's packed masks ----
     cols = _coord_cols(k_ref)                     # (KT, 128)
@@ -261,7 +261,10 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
                 run = run + bit
                 within = within + (run < local_t2).astype(jnp.int32)
 
-            idx_scr[pl.ds(s, 1), :] = b_idx * 128 + u_sel * 16 + within
+            glob = b_idx * 128 + u_sel * 16 + within
+            if base is not None:
+                glob = glob + base
+            idx_scr[pl.ds(s, 1), :] = glob
             return 0
 
         lax.fori_loop(0, bound, slot_body, 0, unroll=False)
@@ -349,4 +352,107 @@ def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
     )(c, k, pack)
     index = jnp.swapaxes(idx_t, 1, 2)[:, :m]
     count = cnt[:, 0, :m].astype(jnp.int32)
+    return index, count
+
+# -- slab-pruned fused ball query (sorted points) ----------------------------
+
+BQ_SLAB_TILES = 4   # key tiles per slab window (4 * BQ_K_TILE = 8192 keys)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def ball_query_fused_slab_pallas(points: Array, centroids: Array,
+                                 lo_tile: Array, radius: float,
+                                 num_neighbours: int,
+                                 interpret: bool = False):
+    """Fused ball query over per-centroid-tile key SLABS (sorted points).
+
+    The caller guarantees: B == 1; `points` are sorted ascending along some
+    coordinate; `centroids` are sorted by the same coordinate; and
+    `lo_tile[j]` (int32, one per BQ_C_TILE centroid tile) is the
+    BQ_K_TILE-aligned tile index such that every point within the ball
+    radius of every centroid in tile j lies in key tiles
+    [lo_tile[j], lo_tile[j] + BQ_SLAB_TILES).  Points inside the aligned
+    slab but outside the true window are beyond the radius on the sort
+    axis alone, so no window mask is needed (see
+    ops/neighbors.py::_ball_query_sorted_pruned).
+
+    lo_tile is a scalar-prefetch operand: the key-tile BlockSpec index map
+    reads it to DMA a DIFFERENT key window per centroid tile.
+
+    Returns (index (1, M, K) i32 into the sorted point order, count (1, M)).
+    """
+    b, _, n = points.shape
+    m = centroids.shape[2]
+    assert b == 1, "slab kernel is single-scene"
+    assert num_neighbours % 8 == 0
+    kt = BQ_K_TILE
+    m_pad = ((m + BQ_C_TILE - 1) // BQ_C_TILE) * BQ_C_TILE
+    n_pad = ((n + kt - 1) // kt) * kt
+    # The slab may reach up to BQ_SLAB_TILES tiles past any clamped start.
+    n_pad = max(n_pad, BQ_SLAB_TILES * kt)
+    nb_slab = BQ_SLAB_TILES * (kt // 128)
+
+    k = _pad_planes(points, n_pad, 1e9)[0]                  # (8, n_pad)
+    # Pad centroids by repeating the LAST (sorted) centroid: keeps padded
+    # rows inside the last tile's slab window.
+    c = _pad_planes(centroids, m_pad, 0.0)[0]
+    if m_pad > m:
+        c = jnp.concatenate(
+            [c[:, :m], jnp.repeat(c[:, m - 1:m], m_pad - m, axis=1)], axis=1)
+
+    jj = jnp.arange(kt, dtype=jnp.int32)[:, None]
+    w_local = jj // 16
+    u_of = w_local % 8
+    jl_of = w_local // 8
+    cc = jnp.arange(128, dtype=jnp.int32)[None, :]
+    in_word = (u_of * 16 + jl_of) == cc
+    p_pack = jnp.where(in_word, jnp.exp2((jj % 16).astype(jnp.float32)), 0.0)
+    pack = jnp.concatenate([p_pack, in_word.astype(jnp.float32)],
+                           axis=1).astype(jnp.bfloat16)     # (KT, 256)
+
+    num_c_tiles = m_pad // BQ_C_TILE
+    radius2 = radius * radius
+
+    def kernel(lo_ref, c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch):
+        j = pl.program_id(0)
+        base = lo_ref[j] * kt
+        _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch,
+                         radius2=radius2, k_slots=num_neighbours,
+                         nb_total=nb_slab, tile_axis=1, base=base)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_c_tiles, BQ_SLAB_TILES),
+        in_specs=[
+            pl.BlockSpec((8, BQ_C_TILE), lambda j, t, lo: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kt), lambda j, t, lo: (0, lo[j] + t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 256), lambda j, t, lo: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((num_neighbours, BQ_C_TILE),
+                         lambda j, t, lo: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BQ_C_TILE), lambda j, t, lo: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8 * nb_slab, BQ_C_TILE), jnp.float32),
+            pltpu.VMEM((8 * nb_slab, BQ_C_TILE), jnp.float32),
+            pltpu.VMEM((nb_slab, BQ_C_TILE), jnp.float32),
+            pltpu.VMEM((num_neighbours, BQ_C_TILE), jnp.int32),
+        ],
+    )
+    idx_t, cnt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_neighbours, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lo_tile.astype(jnp.int32), c, k, pack)
+    index = jnp.swapaxes(idx_t, 0, 1)[None, :m]
+    count = cnt[0, :m].astype(jnp.int32)[None]
     return index, count

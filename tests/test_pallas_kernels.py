@@ -168,3 +168,41 @@ def test_collision_counts_pallas_interpret():
     ok_p = batch_view_non_collision(g2l, jnp.asarray(cloud),
                                     valid=jnp.asarray(valid), impl="xla")
     np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_x))
+
+
+@pytest.mark.slow
+def test_ball_query_fused_slab_pallas_interpret():
+    """Slab kernel (sorted points, scalar-prefetch key windows) must match
+    the f64 oracle exactly; exercised in interpreter mode on CPU."""
+    from s4g_tpu.ops.pallas.neighbor_kernels import (
+        BQ_C_TILE, BQ_K_TILE, BQ_SLAB_TILES, ball_query_fused_slab_pallas)
+    from reference_ops import np_ball_query
+
+    rng = np.random.RandomState(11)
+    n, m, r, k = 9000, 700, 0.06, 16
+    pts = rng.rand(1, 3, n).astype(np.float32) * 0.7
+    ax = 0
+    pts = pts[:, :, np.argsort(pts[0, ax], kind="stable")]
+    cents = pts[:, :, np.sort(rng.choice(n, m, replace=False))]
+
+    ntile = -(-m // BQ_C_TILE)
+    ck = np.concatenate([cents[0, ax],
+                         np.repeat(cents[0, ax, -1:], ntile * BQ_C_TILE - m)])
+    pk = pts[0, ax]
+    n_pad = max(-(-n // BQ_K_TILE) * BQ_K_TILE, BQ_SLAB_TILES * BQ_K_TILE)
+    lo_tile = []
+    for t in range(ntile):
+        lo = np.searchsorted(pk, ck[t * BQ_C_TILE] - r, side="left")
+        hi = np.searchsorted(pk, ck[(t + 1) * BQ_C_TILE - 1] + r,
+                             side="right")
+        lt = min(max(lo // BQ_K_TILE, 0),
+                 n_pad // BQ_K_TILE - BQ_SLAB_TILES)
+        assert hi - lt * BQ_K_TILE <= BQ_SLAB_TILES * BQ_K_TILE
+        lo_tile.append(lt)
+    idx, cnt = ball_query_fused_slab_pallas(
+        jnp.asarray(pts), jnp.asarray(cents),
+        jnp.asarray(lo_tile, jnp.int32), r, k, True)
+    want_idx, want_cnt = np_ball_query(pts.astype(np.float64),
+                                       cents.astype(np.float64), r, k)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
