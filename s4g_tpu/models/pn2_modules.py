@@ -97,6 +97,18 @@ class PointNetSAModule(nn.Module):
                 centroid_feature = feature
             else:
                 index = ops.farthest_point_sample(_cf(xyz), self.num_centroids)
+                import os as _os
+                if sorted_axis is not None and b == 1 \
+                        and _os.environ.get("S4G_3NN_SLAB") == "1":
+                    # Sorted stage outputs are only REQUIRED by the
+                    # experimental slab 3-NN route (its keys are these
+                    # centroids); the re-sort costs ~0.14 ms at deployment
+                    # scale, so it is gated with that route.
+                    keys = jax.lax.dynamic_index_in_dim(
+                        xyz[0], sorted_axis, axis=1, keepdims=False)  # (N,)
+                    ckeys = jnp.take_along_axis(keys[None], index, axis=1)
+                    index = jnp.take_along_axis(
+                        index, jnp.argsort(ckeys, axis=1), axis=1)
                 new_xyz = gather_cl(xyz, index)
                 centroid_feature = (gather_cl(feature, index)
                                     if feature is not None else None)
@@ -191,7 +203,7 @@ class PointnetFPModule(nn.Module):
 
     @nn.compact
     def __call__(self, dense_xyz, sparse_xyz, dense_feature, sparse_feature,
-                 train: bool = False) -> Array:
+                 train: bool = False, sorted_axis=None) -> Array:
         if self.num_neighbors == 0:
             assert sparse_xyz.shape[1] == 1
             expanded = jnp.broadcast_to(
@@ -201,7 +213,8 @@ class PointnetFPModule(nn.Module):
             new_feature = jnp.concatenate([expanded, dense_feature], axis=-1)
         else:
             assert self.num_neighbors == 3
-            index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz))
+            index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz),
+                                           sorted_axis=sorted_axis)
             weight = interpolation_weights(distance)
             # Per-neighbour gather-then-fma: avoids materializing the
             # (B, N1, 3, C) grouped tensor (~160 MB at deployment scale,

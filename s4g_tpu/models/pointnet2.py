@@ -91,7 +91,7 @@ class PointNet2Backbone(nn.Module):
                 edge=self.edge_sa,
                 dtype=self.dtype,
                 name=f"sa{i}")(cur_xyz, feature, train=train,
-                               sorted_axis=sorted_axis if i == 0 else None)
+                               sorted_axis=sorted_axis)
             inter_xyz.append(cur_xyz)
             inter_feature.append(feature)
 
@@ -100,12 +100,13 @@ class PointNet2Backbone(nn.Module):
         for i in range(num_layers):
             dense_xyz = inter_xyz[-2 - i]
             dense_feature = inter_feature[-2 - i]
+            fp_kwargs = {} if self.edge_fp else {"sorted_axis": sorted_axis}
             sparse_feature = fp_cls(
                 mlp_channels=self.fp_channels[i],
                 num_neighbors=self.num_fp_neighbours[i],
                 dtype=self.dtype,
                 name=f"fp{i}")(dense_xyz, sparse_xyz, dense_feature,
-                               sparse_feature, train=train)
+                               sparse_feature, train=train, **fp_kwargs)
             sparse_xyz = dense_xyz
         if order is not None:
             # Restore the caller's point order (one wide row gather).

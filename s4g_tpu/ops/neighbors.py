@@ -430,9 +430,57 @@ def _three_nn_select_xla(query_xyz: Array, key_xyz: Array, chunk: int):
     return idx.reshape(b, n1 + pad, 3)[:, :n1]
 
 
+def _three_nn_sorted_slab(query_xyz: Array, key_xyz: Array,
+                          sorted_axis: Array, interpret: bool = False):
+    """Slab-pruned 3-NN selection (both point sets sorted along
+    `sorted_axis`): run the Pallas slab kernel, then lax.cond to the full
+    Pallas scan if ANY query's verification flag fails (see
+    pallas/neighbor_kernels.py::_three_nn_slab_kernel).  Selection
+    arithmetic is the exact difference form of the full kernel, so a
+    verified slab result is bit-identical to the full scan."""
+    from .pallas.neighbor_kernels import (NN_K_TILE, NN_SLAB_TILES, Q_TILE,
+                                          three_nn_pallas,
+                                          three_nn_slab_pallas)
+    n1 = query_xyz.shape[2]
+    n2 = key_xyz.shape[2]
+    kt = NN_K_TILE
+    cap = NN_SLAB_TILES * kt
+    nk_pad = max(-(-n2 // kt) * kt, cap)
+
+    qax = lax.dynamic_index_in_dim(query_xyz[0], sorted_axis, axis=0,
+                                   keepdims=False)
+    kax = lax.dynamic_index_in_dim(key_xyz[0], sorted_axis, axis=0,
+                                   keepdims=False)
+    kax_pad = jnp.pad(kax, (0, nk_pad - n2), constant_values=1e9)
+
+    nq_pad = -(-n1 // Q_TILE) * Q_TILE
+    qax_p = jnp.pad(qax, (0, nq_pad - n1), mode="edge")
+    tiles = qax_p.reshape(-1, Q_TILE)
+    mid = 0.5 * (tiles[:, 0] + tiles[:, -1])
+    pos = jnp.searchsorted(kax, mid).astype(jnp.int32)
+    lo_tile = jnp.clip((pos - cap // 2) // kt, 0, nk_pad // kt
+                       - NN_SLAB_TILES)
+    kleft = jnp.where(lo_tile == 0, jnp.float32(-1e9),
+                      jnp.take(kax_pad, lo_tile * kt))
+    kright = jnp.take(kax_pad, lo_tile * kt + cap - 1)
+
+    idx_s, ok = three_nn_slab_pallas(query_xyz, key_xyz, lo_tile,
+                                     sorted_axis, kleft, kright, interpret)
+
+    def slab(_):
+        return idx_s
+
+    def full(_):
+        i_f, _d = three_nn_pallas(query_xyz, key_xyz, interpret)
+        return i_f
+
+    return lax.cond(jnp.all(ok), slab, full, operand=None)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
-             chunk: int = 2048, impl: str = "auto"):
+             chunk: int = 2048, impl: str = "auto",
+             sorted_axis: Optional[Array] = None):
     """3 nearest neighbours of each query point among the key points.
 
     Selection uses matmul-form distances (fused VMEM-resident Pallas kernel
@@ -444,12 +492,32 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
         query_xyz: (B, 3, N1)
         key_xyz: (B, 3, N2)
         impl: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
+        sorted_axis: optional traced int32 scalar; the caller GUARANTEES
+            BOTH point sets are sorted ascending along that coordinate
+            (B must be 1).  On TPU at large sizes this routes to the
+            verified slab-pruned Pallas kernel — bit-identical to the full
+            Pallas scan (same difference-form arithmetic), with lax.cond
+            fallback when verification fails.
 
     Returns:
         index: (B, N1, 3) int32 — ascending distance, ties to lower index.
         distance: (B, N1, 3) exact squared distances (difference form).
     """
     assert num_neighbors == 3, "reference kernel is hard-coded to K=3"
+    # The slab route is OFF by default: on real tabletop scenes ~7% of
+    # queries fail the window verification (3-NN radii exceed the axis
+    # margin where key density concentrates), the whole-call fallback
+    # fires, and the slab attempt becomes pure overhead.  Kept behind
+    # S4G_3NN_SLAB=1 as exact, tested groundwork (docs/perf_roadmap.md).
+    import os as _os
+    if sorted_axis is not None and query_xyz.shape[0] == 1 \
+            and _os.environ.get("S4G_3NN_SLAB") == "1" \
+            and query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 25) \
+            and key_xyz.shape[2] >= 4096 \
+            and jax.default_backend() == "tpu" and impl in ("auto", "pallas"):
+        idx = _three_nn_sorted_slab(query_xyz, key_xyz,
+                                    jnp.asarray(sorted_axis, jnp.int32))
+        return _exact_resort3(idx, query_xyz, key_xyz)
     if impl == "auto":
         import os
         override = os.environ.get("S4G_3NN_IMPL")

@@ -456,3 +456,126 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     index = jnp.swapaxes(idx_t, 0, 1)[None, :m]
     count = cnt[0, :m].astype(jnp.int32)[None]
     return index, count
+
+
+# -- slab-pruned fused 3-NN (sorted queries AND keys) ------------------------
+
+NN_K_TILE = 1024
+NN_SLAB_TILES = 2   # key slab = 2 * 1024 keys per 256-query tile
+
+
+def _three_nn_slab_kernel(lo_ref, ax_ref, kl_ref, kr_ref, q_ref, k_ref,
+                          idx_ref, dist_ref, d_scr, *, n2):
+    """Query tile vs a per-tile key SLAB (scalar-prefetched window).
+
+    Same exact difference-form arithmetic and tie-breaks as
+    _three_nn_kernel, restricted to the slab; key indices are rebased to
+    global sorted positions.  dist_ref row 3 carries the per-query
+    VERIFICATION flag: 1.0 iff the 3rd-smallest distance is strictly
+    below the squared axis distance to both slab edges (+f32 tolerance),
+    which proves no outside key could displace a winner.  kl/kr are the
+    slab edge coordinates along the sort axis, pre-substituted with -+1e9
+    when the slab touches the array ends.
+    """
+    j = pl.program_id(0)
+    t = pl.program_id(1)
+    kt = NN_K_TILE
+    cap = NN_SLAB_TILES * kt
+
+    cols = _coord_cols(q_ref)                     # (Q, 128)
+    qx, qy, qz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
+    dx = qx - k_ref[0:1, :]
+    dy = qy - k_ref[1:2, :]
+    dz = qz - k_ref[2:3, :]
+    d_scr[:, pl.ds(t * kt, kt)] = dx * dx + dy * dy + dz * dz
+
+    @pl.when(t == NN_SLAB_TILES - 1)
+    def _extract():
+        base = lo_ref[j] * kt
+        col = lax.broadcasted_iota(jnp.int32, (Q_TILE, cap), 1)
+        big_i = jnp.int32(2 ** 30)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+        dist_ref[:] = jnp.zeros_like(dist_ref)
+        d3 = None
+        for s in range(3):
+            d = d_scr[:]
+            m = jnp.min(d, axis=1)
+            at_min = d == m[:, None]
+            i_s = jnp.min(jnp.where(at_min, col, big_i), axis=1)
+            idx_ref[s, :] = i_s + base
+            dist_ref[s, :] = m
+            d_scr[:] = jnp.where(col == i_s[:, None], jnp.inf, d)
+            d3 = m
+
+        ax = ax_ref[0]
+        q_ax = q_ref[pl.ds(ax, 1), :][0, :]        # (Q_TILE,)
+        left = q_ax - kl_ref[j]
+        right = kr_ref[j] - q_ax
+        tol = 1e-6 * (1.0 + d3)
+        ok = ((left > 0.0) & (left * left > d3 + tol)
+              & (right > 0.0) & (right * right > d3 + tol))
+        dist_ref[3, :] = ok.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def three_nn_slab_pallas(query_xyz: Array, key_xyz: Array, lo_tile: Array,
+                         sorted_axis: Array, kleft: Array, kright: Array,
+                         interpret: bool = False):
+    """Slab-pruned 3-NN selection; see _three_nn_slab_kernel.
+
+    Caller guarantees: B == 1, both point sets sorted ascending along
+    `sorted_axis`, lo_tile[j] an NN_K_TILE-aligned slab start (in tiles)
+    per Q_TILE-query tile, kleft/kright the slab edge axis coordinates
+    (with -+1e9 substituted at array ends).
+
+    Returns (index (1, N1, 3) i32 global sorted positions,
+             ok (N1,) bool verification flags).
+    """
+    b, _, n1 = query_xyz.shape
+    n2 = key_xyz.shape[2]
+    assert b == 1
+    kt = NN_K_TILE
+    nq_pad = ((n1 + Q_TILE - 1) // Q_TILE) * Q_TILE
+    nk_pad = max(((n2 + kt - 1) // kt) * kt, NN_SLAB_TILES * kt)
+
+    # Pad queries by REPEATING the last query so padded lanes inherit its
+    # verification flag instead of forcing a spurious fallback.
+    q = jnp.pad(query_xyz, ((0, 0), (0, 0), (0, nq_pad - n1)), mode="edge")
+    q = _pad_planes(q, nq_pad, 0.0)[0]             # (8, NQ_pad)
+    k = _pad_planes(key_xyz, nk_pad, 1e9)[0]       # (8, NK_pad)
+
+    num_q_tiles = nq_pad // Q_TILE
+    kernel = functools.partial(_three_nn_slab_kernel, n2=n2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_q_tiles, NN_SLAB_TILES),
+        in_specs=[
+            pl.BlockSpec((8, Q_TILE), lambda j, t, lo, ax, kl, kr: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kt), lambda j, t, lo, ax, kl, kr: (0, lo[j] + t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, Q_TILE), lambda j, t, lo, ax, kl, kr: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Q_TILE), lambda j, t, lo, ax, kl, kr: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q_TILE, NN_SLAB_TILES * kt), jnp.float32),
+        ],
+    )
+    idx8, dist8 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, nq_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8, nq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lo_tile.astype(jnp.int32), jnp.asarray(sorted_axis, jnp.int32)[None],
+      kleft.astype(jnp.float32), kright.astype(jnp.float32), q, k)
+    idx = jnp.swapaxes(idx8[:3, :n1][None], 1, 2)  # (1, N1, 3)
+    ok = dist8[3, :n1] > 0.5
+    return idx, ok

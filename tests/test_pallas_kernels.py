@@ -206,3 +206,25 @@ def test_ball_query_fused_slab_pallas_interpret():
                                        cents.astype(np.float64), r, k)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
     np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+
+
+@pytest.mark.slow
+def test_three_nn_slab_pallas_interpret():
+    """Verified slab 3-NN must be bit-identical to the full Pallas scan
+    (same difference-form arithmetic) on sorted inputs."""
+    import jax
+    import jax.numpy as jnp
+    from s4g_tpu.ops import neighbors as NB
+
+    rng = np.random.RandomState(5)
+    n1, n2, ax = 2000, 4200, 2
+    q = rng.rand(1, 3, n1).astype(np.float32) * 0.5
+    k = rng.rand(1, 3, n2).astype(np.float32) * 0.5
+    q = q[:, :, np.argsort(q[0, ax], kind="stable")]
+    k = k[:, :, np.argsort(k[0, ax], kind="stable")]
+
+    idx = NB._three_nn_sorted_slab(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.int32(ax), interpret=True)
+    from s4g_tpu.ops.pallas.neighbor_kernels import three_nn_pallas
+    want, _ = three_nn_pallas(jnp.asarray(q), jnp.asarray(k), True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
