@@ -138,7 +138,7 @@ def three_nn_pallas(query_xyz: Array, key_xyz: Array,
 
 # -- fused ball query: distance + mask + bit-pack + in-kernel rank bisect ----
 
-BQ_C_TILE = 256     # centroids per grid step
+BQ_C_TILE = 512     # centroids per grid step (512 measured 0.81 vs 0.94 ms at 256 on the slab kernel)
 BQ_K_TILE = 2048    # keys per inner step (KT/16 = 128-aligned pack width)
 
 
