@@ -95,7 +95,11 @@ def post_process_predictions(points: Array, score_logits: Array,
     pts = points.T[top_idx]                                  # (K, 3)
     t_prob = jax.nn.softmax(frame_t_logits[:, top_idx], axis=0)  # (4, K)
 
-    # Verticality of the approach axis in the robot base frame.
+    # Verticality of the approach axis in the robot base frame.  NOTE:
+    # computed on the RAW, un-orthogonalized rotation column, exactly like
+    # the reference (grasp_detector.py:153-156) — its magnitude is
+    # unbounded for untrained/lightly-trained models, so "disable" means a
+    # very negative threshold (-1e9), not -1.0.
     x_dir = -(camera2base[:3, :3] @ train2real[:3, :3] @ rot[:, :, 0].T)
     vertical_degree = x_dir[2, :]                            # dot with z-up
     valid = (top_scores > score_threshold) & (vertical_degree > vertical_threshold)

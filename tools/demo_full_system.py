@@ -115,20 +115,33 @@ def main():
     net, _, _ = build_model(cfg)
     variables = state.variables
 
-    # world-frame cloud is already "train frame" (z up, table at 0.75)
-    pre = preprocess_cloud(jnp.asarray(noisy), jax.random.key(0),
+    # The training pickles hold CAMERA-frame clouds (label transfer dumps
+    # to camera frame, reference torch_precomputed_...py:237-256), so the
+    # detect input must be transformed world -> camera or BatchNorm sees an
+    # out-of-distribution cloud and the scores collapse to a constant.
+    world2cam = np.linalg.inv(cam)
+    noisy_cam = (world2cam[:3, :3] @ noisy.T + world2cam[:3, 3:4]).T
+    pre = preprocess_cloud(jnp.asarray(noisy_cam.astype(np.float32)),
+                           jax.random.key(0),
                            num_points=args.num_points, capacity=32768)
     batch = {"scene_points": pre.points.T[None]}
     preds = net.apply(variables, batch, train=False)
+    # vertical_threshold=-1e9 truly disables the verticality filter: the
+    # degree is computed on the RAW un-orthogonalized rotation column
+    # (reference parity, grasp_detector.py:153-156), whose magnitude is
+    # unbounded for lightly-trained models, so -1.0 can still reject.
     post = post_process_predictions(
         pre.points.T, preds["score"][0], preds["frame_R"][0],
-        preds["frame_t"][0], score_threshold=0.4, vertical_threshold=-1.0,
+        preds["frame_t"][0], score_threshold=0.4, vertical_threshold=-1e9,
         num_candidates=256, train2real=jnp.eye(4))
     g2l = batch_transformation_inv(post.poses)
-    no_collision = batch_view_non_collision(g2l, jnp.asarray(noisy))
+    no_collision = batch_view_non_collision(
+        g2l, jnp.asarray(noisy_cam.astype(np.float32)))
     valid = np.asarray(post.valid & no_collision)
     scores = np.asarray(post.scores)
-    poses = np.asarray(post.poses)[valid]
+    poses_cam = np.asarray(post.poses)[valid]
+    # camera frame -> world frame for the height sanity check
+    poses = np.einsum("ij,njk->nik", cam.astype(np.float32), poses_cam)
     print(f"[detect] {valid.sum()} valid grasps "
           f"(top score {scores[0]:.3f})", flush=True)
     if valid.sum():
