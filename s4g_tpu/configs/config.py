@@ -81,6 +81,13 @@ class PN2Config:
     # the arbitrary scan order, so per-point outputs differ from the
     # unsorted run at neighbour-selection level (docs/divergences.md).
     SORT_POINTS: bool = False
+    # TPU deployment knob (no reference equivalent): G > 1 replaces exact
+    # FPS with sharded FPS — exact FPS per contiguous N/G slab of the
+    # sorted cloud, M/G centroids each, all G chains lane-parallel in one
+    # Pallas kernel (128 shards: 2.57 ms -> 0.01 ms on v5e).  Only active
+    # together with SORT_POINTS (slabs must be spatial); documented
+    # divergence from reference FPS (docs/divergences.md).
+    FPS_SHARDS: int = 1
 
 
 @dataclass(frozen=True)

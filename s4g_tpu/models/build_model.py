@@ -38,6 +38,7 @@ def _pn2_kwargs(cfg: Config, section) -> dict:
         seg_channels=section.SEG_CHANNELS,
         dropout_prob=section.DROPOUT_PROB,
         sort_points=section.SORT_POINTS,
+        fps_shards=section.FPS_SHARDS,
         dtype=_dtype(cfg),
     )
 

@@ -74,6 +74,7 @@ class PointNetSAModule(nn.Module):
     use_xyz: bool = True
     pool: str = "max"
     edge: bool = False       # EdgeSAModule behaviour (modules.py:407-475)
+    fps_shards: int = 1      # >1: sharded FPS (deployment divergence)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,14 +97,22 @@ class PointNetSAModule(nn.Module):
                 new_xyz = xyz
                 centroid_feature = feature
             else:
-                index = ops.farthest_point_sample(_cf(xyz), self.num_centroids)
-                import os as _os
-                if sorted_axis is not None and b == 1 \
-                        and _os.environ.get("S4G_3NN_SLAB") == "1":
-                    # Sorted stage outputs are only REQUIRED by the
-                    # experimental slab 3-NN route (its keys are these
-                    # centroids); the re-sort costs ~0.14 ms at deployment
-                    # scale, so it is gated with that route.
+                from ..ops.sampling import fps_sharding_applies
+                sharded = (sorted_axis is not None
+                           and fps_sharding_applies(
+                               xyz.shape[1], self.num_centroids,
+                               self.fps_shards))
+                index = ops.farthest_point_sample(
+                    _cf(xyz), self.num_centroids,
+                    num_shards=self.fps_shards if sharded else 1,
+                    sort_local=sharded)
+                if sorted_axis is not None and b == 1 and not sharded:
+                    # Sortedness INVARIANT: `sorted_axis` is passed down to
+                    # every stage, so this stage's output (next stage's
+                    # input) must itself be sorted along that axis.  The
+                    # sharded FPS path emits ascending indices already
+                    # (sort_local); the exact path re-sorts here (~0.14 ms
+                    # at deployment scale).
                     keys = jax.lax.dynamic_index_in_dim(
                         xyz[0], sorted_axis, axis=1, keepdims=False)  # (N,)
                     ckeys = jnp.take_along_axis(keys[None], index, axis=1)

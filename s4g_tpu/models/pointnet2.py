@@ -49,6 +49,7 @@ class PointNet2Backbone(nn.Module):
     edge_sa: bool = False
     edge_fp: bool = False
     sort_points: bool = False
+    fps_shards: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +90,7 @@ class PointNet2Backbone(nn.Module):
                 num_neighbours=self.num_neighbours[i],
                 use_xyz=True,
                 edge=self.edge_sa,
+                fps_shards=self.fps_shards if sorted_axis is not None else 1,
                 dtype=self.dtype,
                 name=f"sa{i}")(cur_xyz, feature, train=train,
                                sorted_axis=sorted_axis)
@@ -156,6 +158,7 @@ class PointNet2CLS(nn.Module):
     edge_sa: bool = False
     edge_fp: bool = False
     sort_points: bool = False
+    fps_shards: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -166,8 +169,8 @@ class PointNet2CLS(nn.Module):
             self.num_centroids, self.radius, self.num_neighbours,
             self.sa_channels, self.fp_channels, self.num_fp_neighbours,
             edge_sa=self.edge_sa, edge_fp=self.edge_fp,
-            sort_points=self.sort_points, dtype=self.dtype,
-            name="backbone")(xyz, train=train)
+            sort_points=self.sort_points, fps_shards=self.fps_shards,
+            dtype=self.dtype, name="backbone")(xyz, train=train)
 
         logits = _Head(self.seg_channels, self.score_classes,
                        dropout_prob=self.dropout_prob, dtype=self.dtype,
@@ -210,6 +213,7 @@ class PointNet2Reg(nn.Module):
     edge_sa: bool = False
     edge_fp: bool = False
     sort_points: bool = False
+    fps_shards: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -220,8 +224,8 @@ class PointNet2Reg(nn.Module):
             self.num_centroids, self.radius, self.num_neighbours,
             self.sa_channels, self.fp_channels, self.num_fp_neighbours,
             edge_sa=self.edge_sa, edge_fp=self.edge_fp,
-            sort_points=self.sort_points, dtype=self.dtype,
-            name="backbone")(xyz, train=train)
+            sort_points=self.sort_points, fps_shards=self.fps_shards,
+            dtype=self.dtype, name="backbone")(xyz, train=train)
 
         logits = _Head(self.seg_channels, self.score_classes,
                        dropout_prob=self.dropout_prob, dtype=self.dtype,
@@ -269,6 +273,7 @@ class PointNet2Local(nn.Module):
     seg_channels: Sequence[int] = (128,)
     dropout_prob: float = 0.5
     sort_points: bool = False
+    fps_shards: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -278,7 +283,7 @@ class PointNet2Local(nn.Module):
         feature = PointNet2Backbone(
             self.num_centroids, self.radius, self.num_neighbours,
             self.sa_channels, self.fp_channels, self.num_fp_neighbours,
-            sort_points=self.sort_points,
+            sort_points=self.sort_points, fps_shards=self.fps_shards,
             dtype=self.dtype, name="backbone")(xyz, train=train)
 
         r = _Head(self.seg_channels, 9, dtype=self.dtype,

@@ -79,6 +79,12 @@ def gram_schmidt_frames(rotation9: jnp.ndarray) -> jnp.ndarray:
     alt = alt - jnp.sum(x * alt, axis=-1, keepdims=True) * x
     alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), eps)
     y = jnp.where(y_norm > eps, y / jnp.maximum(y_norm, eps), alt)
+    # "Twice is enough" re-orthogonalization: when the raw y is nearly
+    # parallel to x (common for untrained heads), the first projection
+    # cancels catastrophically and leaves an O(eps_f32 * |y| / |residual|)
+    # error (measured up to 4e-3); a second pass removes it (~4e-6).
+    y = y - jnp.sum(x * y, axis=-1, keepdims=True) * x
+    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), eps)
     z = jnp.cross(x, y)
     return jnp.stack([x, y, z], axis=-1)
 

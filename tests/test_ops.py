@@ -46,6 +46,51 @@ class TestFPS:
         assert len(np.unique(got[0])) == 128
 
 
+class TestShardedFPS:
+    """Sharded FPS (deployment divergence): exact FPS per contiguous
+    N/G-point shard, M/G centroids each (docs/divergences.md)."""
+
+    def test_per_shard_exactness_vs_oracle(self, rng):
+        # Each shard's selections == the f64 oracle FPS run on that shard.
+        pts = _cloud(rng, 2, 512)
+        g, m = 8, 64
+        got = np.asarray(farthest_point_sample(
+            jnp.asarray(pts), m, impl="xla", num_shards=g))
+        ns, m_g = 512 // g, m // g
+        for b in range(2):
+            for s in range(g):
+                shard = pts[b:b + 1, :, s * ns:(s + 1) * ns]
+                want = np_farthest_point_sample(shard.astype(np.float64), m_g)
+                np.testing.assert_array_equal(
+                    got[b, s * m_g:(s + 1) * m_g] - s * ns, want[0])
+
+    @pytest.mark.parametrize("g", [4, 128])
+    def test_pallas_matches_xla(self, rng, g):
+        # Chain-interleave (G<128) and lane-parallel (G=128) kernels vs the
+        # sharded XLA oracle.
+        n, m = (1280, 256) if g == 128 else (512, 64)
+        pts = _cloud(rng, 2, n)
+        got = np.asarray(farthest_point_sample(
+            jnp.asarray(pts), m, impl="pallas_interpret", num_shards=g))
+        want = np.asarray(farthest_point_sample(
+            jnp.asarray(pts), m, impl="xla", num_shards=g))
+        np.testing.assert_array_equal(got, want)
+
+    def test_sort_local_yields_ascending_indices(self, rng):
+        pts = np.sort(_cloud(rng, 1, 1280), axis=2)
+        got = np.asarray(farthest_point_sample(
+            jnp.asarray(pts), 256, impl="xla", num_shards=128,
+            sort_local=True))
+        assert (np.diff(got[0]) > 0).all()
+
+    def test_indivisible_sizes_fall_back_to_exact(self, rng):
+        pts = _cloud(rng, 1, 500)   # 500 % 8 != 0
+        got = np.asarray(farthest_point_sample(
+            jnp.asarray(pts), 64, impl="xla", num_shards=8))
+        want = np_farthest_point_sample(pts.astype(np.float64), 64)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestBallQuery:
     @pytest.mark.parametrize("b,n,m,k,r", [
         (1, 512, 64, 16, 0.1),
