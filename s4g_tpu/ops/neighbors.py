@@ -139,8 +139,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                               radius2: float, num_neighbours: int,
                               chunk: int, sorted_axis: Array,
                               slab_capacity: int):
-    """Slab-pruned ball query for a SINGLE scene whose points are sorted
-    ascending along coordinate `sorted_axis` (traced scalar).
+    """Slab-pruned ball query for scenes whose points are sorted ascending
+    along coordinate `sorted_axis` (traced scalar, shared by the batch).
 
     Centroids are processed in sorted-axis order, in chunks; each chunk
     only scans the CONTIGUOUS slab of points whose axis value lies within
@@ -151,21 +151,25 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     slab exceeds `slab_capacity` (degenerate clouds concentrated on one
     axis value), the whole call falls back to the full scan via lax.cond.
 
+    Batched: each scene sorts its own centroids and computes its own slab
+    windows; the Pallas kernel takes batch as a leading grid axis, so the
+    cost is batch-linear (the property that makes batch serving win —
+    VERDICT r2 #2).
+
     Measured on v5e stage 1 (5120 x 25,600, r=0.02): 1.66 -> ~0.6 ms.
     """
-    m = centroids.shape[2]
+    b, _, m = centroids.shape
     n = points.shape[2]
     radius = jnp.sqrt(jnp.float32(radius2))
     cap = slab_capacity
 
-    pkeys = lax.dynamic_index_in_dim(points[0], sorted_axis, axis=0,
-                                     keepdims=False)          # (N,) ascending
-    ckeys = lax.dynamic_index_in_dim(centroids[0], sorted_axis, axis=0,
-                                     keepdims=False)          # (M,)
-    corder = jnp.argsort(ckeys).astype(jnp.int32)             # (M,)
-    cent_s = jnp.take_along_axis(centroids, corder[None, None, :]
-                                 .repeat(3, 1), axis=2)
-    ckeys_s = jnp.take_along_axis(ckeys[None], corder[None], axis=1)[0]
+    pkeys = lax.dynamic_index_in_dim(points, sorted_axis, axis=1,
+                                     keepdims=False)       # (B, N) ascending
+    ckeys = lax.dynamic_index_in_dim(centroids, sorted_axis, axis=1,
+                                     keepdims=False)       # (B, M)
+    corder = jnp.argsort(ckeys, axis=1).astype(jnp.int32)  # (B, M)
+    cent_s = jnp.take_along_axis(centroids, corder[:, None, :], axis=2)
+    ckeys_s = jnp.take_along_axis(ckeys, corder, axis=1)   # (B, M)
 
     import os
     use_kernel = (jax.default_backend() == "tpu"
@@ -177,17 +181,26 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     # chunk window valid; padded outputs are sliced off below.
     cent_p = jnp.concatenate(
         [cent_s, jnp.repeat(cent_s[:, :, -1:], pad, axis=2)], axis=2)
-    ckeys_p = jnp.concatenate([ckeys_s, jnp.repeat(ckeys_s[-1:], pad)])
+    ckeys_p = jnp.concatenate(
+        [ckeys_s, jnp.repeat(ckeys_s[:, -1:], pad, axis=1)], axis=1)
 
-    cent_chunks = cent_p.reshape(3, num_chunks, chunk).transpose(1, 0, 2)
+    # (B*num_chunks, 3, chunk) flat chunks + owning-scene ids: a flat chunk
+    # loop stays batch-linear where vmapping the selection machinery lowers
+    # super-linearly in B (measured r2).
+    cent_chunks = cent_p.reshape(b, 3, num_chunks, chunk) \
+        .transpose(0, 2, 1, 3).reshape(b * num_chunks, 3, chunk)
+    b_of_chunk = jnp.repeat(jnp.arange(b, dtype=jnp.int32), num_chunks)
 
     def full_flat(_):
-        def per_chunk(cent_c):
-            d = pairwise_sqdist_exact(cent_c, points[0])
+        def per_chunk(args):
+            cent_c, b_id = args
+            pts_b = lax.dynamic_index_in_dim(points, b_id, axis=0,
+                                             keepdims=False)
+            d = pairwise_sqdist_exact(cent_c, pts_b)
             return _first_k_in_range(d, radius2, num_neighbours)
-        idx_f, cnt_f = lax.map(per_chunk, cent_chunks)
-        return (idx_f.reshape(m + pad, num_neighbours),
-                cnt_f.reshape(m + pad))
+        idx_f, cnt_f = lax.map(per_chunk, (cent_chunks, b_of_chunk))
+        return (idx_f.reshape(b, m + pad, num_neighbours),
+                cnt_f.reshape(b, m + pad))
 
     if use_kernel:
         # Fused Pallas slab kernel: per 256-centroid tile, a 2048-aligned
@@ -197,12 +210,17 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                                               BQ_SLAB_TILES,
                                               ball_query_fused_slab_pallas)
         padt = (-m) % BQ_C_TILE
-        ck_t = jnp.concatenate([ckeys_s, jnp.repeat(ckeys_s[-1:], padt)])
+        ck_t = jnp.concatenate(
+            [ckeys_s, jnp.repeat(ckeys_s[:, -1:], padt, axis=1)], axis=1)
         ntile = (m + padt) // BQ_C_TILE
-        t_min = ck_t.reshape(ntile, BQ_C_TILE)[:, 0] - radius
-        t_max = ck_t.reshape(ntile, BQ_C_TILE)[:, -1] + radius
-        lo_t = jnp.searchsorted(pkeys, t_min, side="left").astype(jnp.int32)
-        hi_t = jnp.searchsorted(pkeys, t_max, side="right").astype(jnp.int32)
+        t_min = ck_t.reshape(b, ntile, BQ_C_TILE)[:, :, 0] - radius
+        t_max = ck_t.reshape(b, ntile, BQ_C_TILE)[:, :, -1] + radius
+        lo_t = jax.vmap(
+            lambda pk, t: jnp.searchsorted(pk, t, side="left"))(
+                pkeys, t_min).astype(jnp.int32)            # (B, ntile)
+        hi_t = jax.vmap(
+            lambda pk, t: jnp.searchsorted(pk, t, side="right"))(
+                pkeys, t_max).astype(jnp.int32)
         n_pad_k = max(-(-n // BQ_K_TILE) * BQ_K_TILE,
                       BQ_SLAB_TILES * BQ_K_TILE)
         max_lo = n_pad_k // BQ_K_TILE - BQ_SLAB_TILES
@@ -214,42 +232,47 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
             radius_py = float(radius2) ** 0.5
             i_k, c_k = ball_query_fused_slab_pallas(
                 points, cent_s, lo_tile, radius_py, num_neighbours)
-            pad_k = jnp.zeros((pad, num_neighbours), jnp.int32)
-            return (jnp.concatenate([i_k[0], pad_k], axis=0),
-                    jnp.concatenate([c_k[0], pad_k[:, 0]], axis=0))
+            pad_k = jnp.zeros((b, pad, num_neighbours), jnp.int32)
+            return (jnp.concatenate([i_k, pad_k], axis=1),
+                    jnp.concatenate([c_k, pad_k[:, :, 0]], axis=1))
 
         idx_s, cnt_s = lax.cond(overflow, full_flat, kern, operand=None)
     else:
-        kmin = ckeys_p.reshape(num_chunks, chunk)[:, 0] - radius
-        kmax = ckeys_p.reshape(num_chunks, chunk)[:, -1] + radius
-        lo = jnp.searchsorted(pkeys, kmin, side="left").astype(jnp.int32)
-        hi = jnp.searchsorted(pkeys, kmax, side="right").astype(jnp.int32)
+        kmin = ckeys_p.reshape(b, num_chunks, chunk)[:, :, 0] - radius
+        kmax = ckeys_p.reshape(b, num_chunks, chunk)[:, :, -1] + radius
+        lo = jax.vmap(lambda pk, t: jnp.searchsorted(pk, t, side="left"))(
+            pkeys, kmin).astype(jnp.int32)                 # (B, num_chunks)
+        hi = jax.vmap(lambda pk, t: jnp.searchsorted(pk, t, side="right"))(
+            pkeys, kmax).astype(jnp.int32)
         overflow = jnp.max(hi - lo) > cap
 
         def pruned(_):
             def per_chunk(args):
-                cent_c, lo_i = args
+                cent_c, lo_i, b_id = args
+                pts_b = lax.dynamic_index_in_dim(points, b_id, axis=0,
+                                                 keepdims=False)
                 start = jnp.clip(lo_i, 0, n - cap)
-                slab = lax.dynamic_slice(points[0], (0, start), (3, cap))
-                d = pairwise_sqdist_exact(cent_c, slab)        # (chunk, cap)
+                slab = lax.dynamic_slice(pts_b, (0, start), (3, cap))
+                d = pairwise_sqdist_exact(cent_c, slab)    # (chunk, cap)
                 idx_l, cnt = _first_k_in_range(d, radius2, num_neighbours)
                 # Global indices; all-zero rows (count 0) stay zero
                 # (ball_query_kernel.cu:89-133).
                 idx_g = jnp.where(cnt[:, None] > 0, idx_l + start, 0)
                 return idx_g, cnt
-            idx_p, cnt_p = lax.map(per_chunk, (cent_chunks, lo))
-            return (idx_p.reshape(m + pad, num_neighbours),
-                    cnt_p.reshape(m + pad))
+            idx_p, cnt_p = lax.map(
+                per_chunk, (cent_chunks, lo.reshape(-1), b_of_chunk))
+            return (idx_p.reshape(b, m + pad, num_neighbours),
+                    cnt_p.reshape(b, m + pad))
 
         idx_s, cnt_s = lax.cond(overflow, full_flat, pruned, operand=None)
 
-    idx_s = idx_s[:m]
-    cnt_s = cnt_s[:m]
+    idx_s = idx_s[:, :m]
+    cnt_s = cnt_s[:, :m]
 
     # Back to the caller's centroid order.
-    inv = jnp.argsort(corder).astype(jnp.int32)
-    idx = jnp.take_along_axis(idx_s, inv[:, None], axis=0)[None]
-    count = jnp.take_along_axis(cnt_s, inv, axis=0)[None]
+    inv = jnp.argsort(corder, axis=1).astype(jnp.int32)
+    idx = jnp.take_along_axis(idx_s, inv[:, :, None], axis=1)
+    count = jnp.take_along_axis(cnt_s, inv, axis=1)
     return idx, count
 
 

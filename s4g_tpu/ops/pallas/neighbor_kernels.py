@@ -366,25 +366,28 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
                                  interpret: bool = False):
     """Fused ball query over per-centroid-tile key SLABS (sorted points).
 
-    The caller guarantees: B == 1; `points` are sorted ascending along some
-    coordinate; `centroids` are sorted by the same coordinate; and
-    `lo_tile[j]` (int32, one per BQ_C_TILE centroid tile) is the
-    BQ_K_TILE-aligned tile index such that every point within the ball
-    radius of every centroid in tile j lies in key tiles
-    [lo_tile[j], lo_tile[j] + BQ_SLAB_TILES).  Points inside the aligned
-    slab but outside the true window are beyond the radius on the sort
-    axis alone, so no window mask is needed (see
+    The caller guarantees: each scene's `points` are sorted ascending along
+    some coordinate; each scene's `centroids` are sorted by the same
+    coordinate; and `lo_tile[i, j]` (int32, one per BQ_C_TILE centroid tile
+    of scene i) is the BQ_K_TILE-aligned tile index such that every point
+    within the ball radius of every centroid in tile (i, j) lies in key
+    tiles [lo_tile[i, j], lo_tile[i, j] + BQ_SLAB_TILES) of scene i.
+    Points inside the aligned slab but outside the true window are beyond
+    the radius on the sort axis alone, so no window mask is needed (see
     ops/neighbors.py::_ball_query_sorted_pruned).
 
     lo_tile is a scalar-prefetch operand: the key-tile BlockSpec index map
-    reads it to DMA a DIFFERENT key window per centroid tile.
+    reads it to DMA a DIFFERENT key window per (scene, centroid tile).
+    Batch is a leading grid axis — per-scene cost is batch-linear by
+    construction (each grid step touches one scene's tiles only).
 
-    Returns (index (1, M, K) i32 into the sorted point order, count (1, M)).
+    Returns (index (B, M, K) i32 into the sorted point order, count (B, M)).
     """
     b, _, n = points.shape
     m = centroids.shape[2]
-    assert b == 1, "slab kernel is single-scene"
     assert num_neighbours % 8 == 0
+    if lo_tile.ndim == 1:
+        lo_tile = lo_tile[None]
     kt = BQ_K_TILE
     m_pad = ((m + BQ_C_TILE - 1) // BQ_C_TILE) * BQ_C_TILE
     n_pad = ((n + kt - 1) // kt) * kt
@@ -392,13 +395,14 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     n_pad = max(n_pad, BQ_SLAB_TILES * kt)
     nb_slab = BQ_SLAB_TILES * (kt // 128)
 
-    k = _pad_planes(points, n_pad, 1e9)[0]                  # (8, n_pad)
+    k = _pad_planes(points, n_pad, 1e9)                     # (B, 8, n_pad)
     # Pad centroids by repeating the LAST (sorted) centroid: keeps padded
     # rows inside the last tile's slab window.
-    c = _pad_planes(centroids, m_pad, 0.0)[0]
+    c = _pad_planes(centroids, m_pad, 0.0)
     if m_pad > m:
         c = jnp.concatenate(
-            [c[:, :m], jnp.repeat(c[:, m - 1:m], m_pad - m, axis=1)], axis=1)
+            [c[:, :, :m], jnp.repeat(c[:, :, m - 1:m], m_pad - m, axis=2)],
+            axis=2)
 
     jj = jnp.arange(kt, dtype=jnp.int32)[:, None]
     w_local = jj // 16
@@ -414,27 +418,30 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     radius2 = radius * radius
 
     def kernel(lo_ref, c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch):
-        j = pl.program_id(0)
-        base = lo_ref[j] * kt
-        _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch,
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        base = lo_ref[i, j] * kt
+        _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref, idx_ref.at[0],
+                         cnt_ref.at[0], *scratch,
                          radius2=radius2, k_slots=num_neighbours,
-                         nb_total=nb_slab, tile_axis=1, base=base)
+                         nb_total=nb_slab, tile_axis=2, base=base)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_c_tiles, BQ_SLAB_TILES),
+        grid=(b, num_c_tiles, BQ_SLAB_TILES),
         in_specs=[
-            pl.BlockSpec((8, BQ_C_TILE), lambda j, t, lo: (0, j),
+            pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t, lo: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, kt), lambda j, t, lo: (0, lo[j] + t),
+            pl.BlockSpec((1, 8, kt), lambda i, j, t, lo: (i, 0, lo[i, j] + t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 256), lambda j, t, lo: (0, 0),
+            pl.BlockSpec((kt, 256), lambda i, j, t, lo: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((num_neighbours, BQ_C_TILE),
-                         lambda j, t, lo: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BQ_C_TILE), lambda j, t, lo: (0, j),
+            pl.BlockSpec((1, num_neighbours, BQ_C_TILE),
+                         lambda i, j, t, lo: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t, lo: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -448,13 +455,13 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_neighbours, m_pad), jnp.int32),
-            jax.ShapeDtypeStruct((8, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_neighbours, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32),
         ],
         interpret=interpret,
     )(lo_tile.astype(jnp.int32), c, k, pack)
-    index = jnp.swapaxes(idx_t, 0, 1)[None, :m]
-    count = cnt[0, :m].astype(jnp.int32)[None]
+    index = jnp.swapaxes(idx_t, 1, 2)[:, :m]
+    count = cnt[:, 0, :m].astype(jnp.int32)
     return index, count
 
 

@@ -97,7 +97,8 @@ def batch_view_non_collision(global_to_local: Array, cloud: Array,
     homo = jnp.concatenate(
         [cloud.T, jnp.ones((1, cloud.shape[0]), cloud.dtype)], axis=0)
     local = jnp.einsum("gij,jn->gin", global_to_local, homo,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     masks = gripper_local_masks(local[:, :3, :], valid)
     back_count = jnp.sum(masks["back"], axis=-1)
     finger_count = jnp.sum(masks["fingers"], axis=-1)

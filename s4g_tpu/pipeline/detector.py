@@ -128,7 +128,11 @@ class GraspDetector:
             """cloud: (capacity, 3) padded camera-frame points."""
             k_sample, k_importance = jax.random.split(key)
             # Camera frame -> training frame (grasp_detector.py:102).
-            train_cloud = cloud @ real2train[:3, :3].T
+            # HIGHEST precision: the TPU's default f32 matmul truncates
+            # operands to bf16 in the MXU (~4e-3 relative), which would put
+            # ~2 mm of noise on every input coordinate.
+            train_cloud = jnp.matmul(cloud, real2train[:3, :3].T,
+                                     precision=jax.lax.Precision.HIGHEST)
 
             if enable_voxel:
                 pre = preprocess_cloud(
@@ -217,7 +221,8 @@ class GraspDetector:
             cloud = cloud.T
         padded, valid = self._pad_cloud(cloud)
         self._key, sub = jax.random.split(self._key)
-        train_cloud = padded @ jnp.asarray(REAL2TRAIN[:3, :3]).T
+        train_cloud = jnp.matmul(padded, jnp.asarray(REAL2TRAIN[:3, :3]).T,
+                                 precision=jax.lax.Precision.HIGHEST)
         pre = preprocess_cloud(train_cloud, sub, num_points=self.num_input,
                                capacity=self.cloud_capacity)
         batch = {"scene_points": pre.points.T[None]}
@@ -257,7 +262,9 @@ class GraspDetector:
                 results.append((np.zeros((0, 4, 4), np.float32),
                                 np.zeros((0,), np.float32)))
                 continue
-            idx = (np.unique(out["selected"][i]) if num_valid > num_selected
+            # Duplicate draws kept, as in the reference's inverse-CDF
+            # selection (grasp_detector.py:240-250).
+            idx = (np.asarray(out["selected"][i]) if num_valid > num_selected
                    else np.nonzero(valid_mask)[0])
             results.append((out["poses"][i][idx], out["scores"][i][idx]))
         return results
@@ -300,7 +307,10 @@ class GraspDetector:
             return np.zeros((0, 4, 4), np.float32), np.zeros((0,), np.float32)
 
         if num_valid > num_selected:
-            idx = np.unique(out["selected"])
+            # Keep duplicate inverse-CDF draws, exactly like the reference
+            # (grasp_detector.py:240-250): num_selected poses come back,
+            # possibly repeated.
+            idx = np.asarray(out["selected"])
         else:
             idx = np.nonzero(valid_mask)[0]
         poses, scores = poses[idx], scores[idx]

@@ -88,6 +88,15 @@ def post_process_predictions(points: Array, score_logits: Array,
     if train2real is None:
         train2real = jnp.asarray(TRAIN2REAL)
 
+    # Pose math in f32 regardless of the backbone's compute dtype: a bf16
+    # Gram-Schmidt leaves ~2e-3 orthonormality error on the RETURNED poses,
+    # which alone exceeds the <1e-3 pose-parity budget.  K is tiny (~1024),
+    # so the cast costs nothing.
+    points = points.astype(jnp.float32)
+    score_logits = score_logits.astype(jnp.float32)
+    frame_r = frame_r.astype(jnp.float32)
+    frame_t_logits = frame_t_logits.astype(jnp.float32)
+
     scores = expected_score(score_logits)                    # (N,)
     top_scores, top_idx = jax.lax.top_k(scores, num_candidates)
 
@@ -100,7 +109,10 @@ def post_process_predictions(points: Array, score_logits: Array,
     # the reference (grasp_detector.py:153-156) — its magnitude is
     # unbounded for untrained/lightly-trained models, so "disable" means a
     # very negative threshold (-1e9), not -1.0.
-    x_dir = -(camera2base[:3, :3] @ train2real[:3, :3] @ rot[:, :, 0].T)
+    x_dir = -jnp.matmul(
+        jnp.matmul(camera2base[:3, :3], train2real[:3, :3],
+                   precision=jax.lax.Precision.HIGHEST),
+        rot[:, :, 0].T, precision=jax.lax.Precision.HIGHEST)
     vertical_degree = x_dir[2, :]                            # dot with z-up
     valid = (top_scores > score_threshold) & (vertical_degree > vertical_threshold)
 
@@ -109,7 +121,10 @@ def post_process_predictions(points: Array, score_logits: Array,
 
     rot_ortho = gram_schmidt_frames(rot)
     mat44 = poses_from_rt(rot_ortho, translation)            # (K, 4, 4)
-    mat44 = jnp.einsum("ij,kjl->kil", train2real, mat44)
+    # HIGHEST precision: the TPU default f32 matmul truncates to bf16 in
+    # the MXU — ~2e-3 error on the RETURNED rotations otherwise.
+    mat44 = jnp.einsum("ij,kjl->kil", train2real, mat44,
+                       precision=jax.lax.Precision.HIGHEST)
     return PostProcessResult(mat44, top_scores, valid)
 
 
@@ -133,18 +148,30 @@ def post_process_predictions_regression(points: Array, score_logits: Array,
     if train2real is None:
         train2real = jnp.asarray(TRAIN2REAL)
 
+    # f32 pose math independent of the backbone compute dtype (see
+    # post_process_predictions).
+    score_logits = score_logits.astype(jnp.float32)
+    frame_r = frame_r.astype(jnp.float32)
+    frame_t = frame_t.astype(jnp.float32)
+
     scores = expected_score(score_logits)
     top_scores, top_idx = jax.lax.top_k(scores, num_candidates)
     rot = frame_r.T.reshape(-1, 3, 3)[top_idx]
     translation = frame_t.T[top_idx]
 
-    x_dir = -(camera2base[:3, :3] @ train2real[:3, :3] @ rot[:, :, 0].T)
+    x_dir = -jnp.matmul(
+        jnp.matmul(camera2base[:3, :3], train2real[:3, :3],
+                   precision=jax.lax.Precision.HIGHEST),
+        rot[:, :, 0].T, precision=jax.lax.Precision.HIGHEST)
     valid = ((top_scores > score_threshold)
              & (x_dir[2, :] > vertical_threshold))
 
     rot_ortho = gram_schmidt_frames(rot)
     mat44 = poses_from_rt(rot_ortho, translation)
-    mat44 = jnp.einsum("ij,kjl->kil", train2real, mat44)
+    # HIGHEST precision: the TPU default f32 matmul truncates to bf16 in
+    # the MXU — ~2e-3 error on the RETURNED rotations otherwise.
+    mat44 = jnp.einsum("ij,kjl->kil", train2real, mat44,
+                       precision=jax.lax.Precision.HIGHEST)
     return PostProcessResult(mat44, top_scores, valid)
 
 

@@ -8,6 +8,7 @@ jittable; batched by construction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,7 +35,11 @@ def batch_transformation_inv(transformation: jnp.ndarray) -> jnp.ndarray:
     """Inverse of batched SE(3) matrices, (..., 4, 4) -> (..., 4, 4). Jittable."""
     rot_inv = jnp.swapaxes(transformation[..., :3, :3], -1, -2)
     t = transformation[..., :3, 3:]
-    top = jnp.concatenate([rot_inv, -rot_inv @ t], axis=-1)  # (..., 3, 4)
+    # HIGHEST: TPU default f32 matmul truncates operands to bf16.
+    top = jnp.concatenate(
+        [rot_inv, -jnp.matmul(rot_inv, t,
+                              precision=jax.lax.Precision.HIGHEST)],
+        axis=-1)                                             # (..., 3, 4)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=transformation.dtype),
         transformation.shape[:-2] + (1, 4))
@@ -45,7 +50,8 @@ def transform_points(points: jnp.ndarray, transformation: jnp.ndarray) -> jnp.nd
     """Apply a 4x4 transform to (..., 3, N) points (jnp), returning (..., 3, N)."""
     rot = transformation[..., :3, :3]
     t = transformation[..., :3, 3:]
-    return rot @ points + t
+    return jnp.matmul(rot, points,
+                      precision=jax.lax.Precision.HIGHEST) + t
 
 
 def gram_schmidt_frames(rotation9: jnp.ndarray) -> jnp.ndarray:

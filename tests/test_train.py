@@ -165,6 +165,88 @@ def test_data_parallel_training_on_mesh(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
+def test_data_parallel_step_equivalence(tmp_path):
+    """The 8-device sharded step must produce the SAME losses and the SAME
+    gradients as the single-device step on the same batch — the correctness
+    property of replacing nn.DataParallel (reference grasp_detector.py:62-63),
+    whose scatter/gather is numerically equivalent to single-GPU.  A wrong
+    psum axis or a double-counted gradient fails this test.
+
+    Gradients are the right thing to compare: parameters after one Adam step
+    amplify reduction-order sign flips of near-zero gradients to the full
+    +/-lr, and Adam's scale invariance would HIDE a uniformly doubled
+    gradient anyway."""
+    data = dict(np.load(REFERENCE_SCENE, allow_pickle=True))
+    data_dir = tmp_path / "training_data"
+    data_dir.mkdir()
+    for i in range(8):
+        with open(data_dir / f"0_view_{i}.p", "wb") as f:
+            pickle.dump(data, f)
+
+    cfg = _tiny_cfg()
+    ds = SceneGraspDataset(str(data_dir), num_points=128, score_classes=3,
+                           batch_size=8, num_frame_points=32, seed=0)
+    batch = next(iter(ds))
+    key = jax.random.key(0)
+
+    from s4g_tpu.models import build_model
+    from s4g_tpu.parallel.mesh import replicate_sharding, shard_batch
+    net, loss_fn, metric_fn = build_model(cfg)
+    variables = net.init(jax.random.key(1), batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def loss_and_grads(params, batch):
+        def loss_of(p):
+            preds, _ = net.apply(
+                {"params": p, "batch_stats": batch_stats}, batch,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": key})
+            loss_dict = loss_fn(preds, batch)
+            return sum(jax.tree.leaves(loss_dict)), loss_dict
+        (total, loss_dict), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        return total, loss_dict, grads
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    total_s, losses_s, grads_s = jax.jit(loss_and_grads)(
+        jax.device_put(params, replicate_sharding(mesh)),
+        shard_batch(mesh, batch))
+
+    dev0 = jax.devices()[0]
+    total_d, losses_d, grads_d = jax.jit(loss_and_grads)(
+        jax.device_put(params, dev0),
+        jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), dev0), batch))
+
+    np.testing.assert_allclose(np.asarray(total_s), np.asarray(total_d),
+                               rtol=2e-5)
+    for k in losses_d:
+        np.testing.assert_allclose(
+            np.asarray(losses_s[k]), np.asarray(losses_d[k]),
+            rtol=2e-5, atol=2e-6, err_msg=f"loss {k} diverges under DP")
+    flat_s = jax.tree_util.tree_flatten_with_path(jax.device_get(grads_s))[0]
+    flat_d = jax.tree_util.tree_flatten_with_path(jax.device_get(grads_d))[0]
+    assert len(flat_s) == len(flat_d) > 0
+    # Tolerances sized for f32 reduction-order noise amplified through
+    # train-mode BatchNorm statistics (measured ~1e-4 of the leaf scale on
+    # the worst leaf); a wrong psum axis (8x) or a double-counted gradient
+    # (2x) is orders of magnitude outside them.
+    for (path_s, gs), (_, gd) in zip(flat_s, flat_d):
+        name = jax.tree_util.keystr(path_s)
+        scale = max(float(np.max(np.abs(gd))), 1e-3)
+        np.testing.assert_allclose(
+            gs, gd, rtol=2e-3, atol=5e-4 * scale,
+            err_msg=f"gradient {name} diverges under data parallelism")
+        np.testing.assert_allclose(
+            float(np.linalg.norm(gs)), float(np.linalg.norm(gd)),
+            rtol=1e-4, atol=1e-6,
+            err_msg=f"gradient norm of {name} diverges under data "
+                    "parallelism")
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
 @pytest.mark.slow
 def test_trainer_fit_and_resume(tmp_path):
     """fit() trains, checkpoints, and a NEW Trainer resumes at the right
