@@ -76,15 +76,16 @@ def slope_time(fn, args, lo=10, hi=60, reps=3):
 def _select_fps_impl():
     """Probe the Pallas FPS build; fall back to the XLA loop if the Mosaic
     compiler is unavailable (e.g. remote-compile-helper outage)."""
-    import os
     import jax.numpy as jnp
-    from s4g_tpu.ops.sampling import farthest_point_sample
+    from s4g_tpu.ops import sampling
     try:
         probe = jnp.zeros((1, 3, 25600), jnp.float32)
-        float(np.asarray(farthest_point_sample(probe, 5120,
-                                               impl="pallas").sum()))
+        float(np.asarray(sampling.farthest_point_sample(
+            probe, 5120, impl="pallas").sum()))
     except Exception:
-        os.environ["S4G_FPS_IMPL"] = "xla"
+        # The flag is read at sampling-module import (ADVICE r2), so the
+        # fallback must patch the module attribute, not the environment.
+        sampling._ENV_FPS_IMPL = "xla"
 
 
 def main():

@@ -22,6 +22,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Behaviour env flags are read ONCE at import: they are consulted at trace
+# time inside jitted/compact code, so later env mutations would silently
+# miss the jit cache anyway (ADVICE r2).  Tests monkeypatch these module
+# attributes instead of the environment.
+ENV_MLP_IMPL = os.environ.get("S4G_MLP_IMPL", "auto")
+ENV_MLP_FUSE_MIN_ROWS = int(os.environ.get("S4G_MLP_FUSE_MIN_ROWS",
+                                           str(1 << 60)))
+ENV_CAST_ACTIVATIONS = os.environ.get("S4G_CAST_ACTIVATIONS") == "1"
+
 
 class PointConv(nn.Module):
     """Dense (= 1x1 conv) + BatchNorm + ReLU over the trailing channel axis.
@@ -47,7 +56,7 @@ class PointConv(nn.Module):
                 name="bn")(x)
         if self.relu:
             x = nn.relu(x)
-        if os.environ.get("S4G_CAST_ACTIVATIONS") == "1":
+        if ENV_CAST_ACTIVATIONS:
             # Keep inter-layer activations in the compute dtype: BN emits
             # f32, which doubles the gather/concat traffic of every SA/FP
             # stage when the backbone runs bf16.
@@ -118,7 +127,7 @@ class SharedMLP(nn.Module):
                             name=f"layer{i}")
                   for i, features in enumerate(self.mlp_channels)]
 
-        impl = os.environ.get("S4G_MLP_IMPL", "auto")
+        impl = ENV_MLP_IMPL
         force = impl in ("pallas", "pallas_interpret")
         flat_rows = 1
         for d in x.shape[:-1]:
@@ -127,8 +136,8 @@ class SharedMLP(nn.Module):
         # win on the first pooled SA stage, but IN CONTEXT the full forward
         # measures slower with any fusion scope (XLA fuses the gather /
         # concat / Dense chain better than it feeds an opaque kernel).
-        # Kept selectable for other configs via S4G_MLP_FUSE_MIN_ROWS.
-        min_rows = int(os.environ.get("S4G_MLP_FUSE_MIN_ROWS", str(1 << 60)))
+        # Kept selectable for other configs via ENV_MLP_FUSE_MIN_ROWS.
+        min_rows = ENV_MLP_FUSE_MIN_ROWS
         eligible = (max_pool_k is not None and x.shape[-2] == max_pool_k
                     and 2048 % max_pool_k == 0
                     and (force or flat_rows >= min_rows))

@@ -42,14 +42,22 @@ def gather_cl(x: Array, index: Array) -> Array:
     Flattened to ONE single-table gather with batch-offset indices: XLA's
     row-gather costs ~3 ns/row on v5e regardless of row width, but its
     *batched* gather lowering degrades super-linearly in B (measured 2.5x
-    per scene at B=4), while a flat gather stays linear."""
+    per scene at B=4), while a flat gather stays linear.
+
+    promise_in_bounds: every index here comes from argsort/FPS/ball-query
+    over the same table, so the out-of-bounds select_n pass XLA otherwise
+    appends (a full read-modify pass over the gathered output — 0.32 ms
+    PER FP-stage gather at b=2, bitcast_select_fusion in the r3 traces)
+    is dead weight."""
     b, n, c = x.shape
     if b == 1:
-        return jnp.take_along_axis(x, index[..., None], axis=1)
+        return jnp.take_along_axis(x, index[..., None], axis=1,
+                                   mode="promise_in_bounds")
     off = jnp.arange(b, dtype=index.dtype)[:, None] * n
     flat = jnp.take_along_axis(
         x.reshape(1, b * n, c),
-        (index + off).reshape(1, -1)[..., None], axis=1)
+        (index + off).reshape(1, -1)[..., None], axis=1,
+        mode="promise_in_bounds")
     return flat.reshape(b, index.shape[1], c)
 
 
@@ -106,18 +114,21 @@ class PointNetSAModule(nn.Module):
                     _cf(xyz), self.num_centroids,
                     num_shards=self.fps_shards if sharded else 1,
                     sort_local=sharded)
-                if sorted_axis is not None and b == 1 and not sharded:
+                if sorted_axis is not None and not sharded:
                     # Sortedness INVARIANT: `sorted_axis` is passed down to
                     # every stage, so this stage's output (next stage's
                     # input) must itself be sorted along that axis.  The
                     # sharded FPS path emits ascending indices already
                     # (sort_local); the exact path re-sorts here (~0.14 ms
                     # at deployment scale).
+                    from ..ops.neighbors import flat_gather_rows
                     keys = jax.lax.dynamic_index_in_dim(
-                        xyz[0], sorted_axis, axis=1, keepdims=False)  # (N,)
-                    ckeys = jnp.take_along_axis(keys[None], index, axis=1)
-                    index = jnp.take_along_axis(
-                        index, jnp.argsort(ckeys, axis=1), axis=1)
+                        xyz, sorted_axis, axis=2, keepdims=False)  # (B, N)
+                    ckeys = flat_gather_rows(keys[..., None], index)[..., 0]
+                    index = flat_gather_rows(
+                        index[..., None],
+                        jnp.argsort(ckeys, axis=1).astype(jnp.int32)
+                    )[..., 0]
                 new_xyz = gather_cl(xyz, index)
                 centroid_feature = (gather_cl(feature, index)
                                     if feature is not None else None)

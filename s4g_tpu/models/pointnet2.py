@@ -62,7 +62,7 @@ class PointNet2Backbone(nn.Module):
 
         sorted_axis = None
         order = None
-        if self.sort_points and xyz.shape[0] == 1:
+        if self.sort_points:
             # Deployment fast path (MODEL.PN2.SORT_POINTS): reorder the
             # cloud along its widest axis so stage-1 ball query can prune
             # to contiguous slabs (ops/neighbors.py).  Input order is
@@ -71,12 +71,25 @@ class PointNet2Backbone(nn.Module):
             # off by default to keep bit-parity with the reference
             # (docs/divergences.md).  Per-point outputs are restored to
             # the caller's order before returning.
-            spread = jnp.max(xyz[0], axis=0) - jnp.min(xyz[0], axis=0)
-            sorted_axis = jnp.argmax(spread).astype(jnp.int32)
-            keys = lax.dynamic_index_in_dim(xyz[0], sorted_axis, axis=1,
-                                            keepdims=False)
-            order = jnp.argsort(keys).astype(jnp.int32)
-            xyz = jnp.take_along_axis(xyz, order[None, :, None], axis=1)
+            if xyz.shape[0] == 1:
+                spread = jnp.max(xyz[0], axis=0) - jnp.min(xyz[0], axis=0)
+                sorted_axis = jnp.argmax(spread).astype(jnp.int32)
+                keys = lax.dynamic_index_in_dim(xyz[0], sorted_axis, axis=1,
+                                                keepdims=False)
+                order = jnp.argsort(keys).astype(jnp.int32)[None]   # (1, N)
+            else:
+                # Batched serving: ONE shared sort axis (the slab machinery
+                # takes a single traced axis scalar for the whole batch) by
+                # the summed per-scene spread; each scene sorts its own
+                # points along it.
+                spread = jnp.sum(
+                    jnp.max(xyz, axis=1) - jnp.min(xyz, axis=1), axis=0)
+                sorted_axis = jnp.argmax(spread).astype(jnp.int32)
+                keys = lax.dynamic_index_in_dim(xyz, sorted_axis, axis=2,
+                                                keepdims=False)     # (B, N)
+                order = jnp.argsort(keys, axis=1).astype(jnp.int32)
+            from .pn2_modules import gather_cl
+            xyz = gather_cl(xyz, order)
 
         inter_xyz = [xyz]
         inter_feature: list[Optional[Array]] = [None]
@@ -112,9 +125,9 @@ class PointNet2Backbone(nn.Module):
             sparse_xyz = dense_xyz
         if order is not None:
             # Restore the caller's point order (one wide row gather).
-            inv = jnp.argsort(order).astype(jnp.int32)
-            sparse_feature = jnp.take_along_axis(
-                sparse_feature, inv[None, :, None], axis=1)
+            from .pn2_modules import gather_cl
+            inv = jnp.argsort(order, axis=1).astype(jnp.int32)
+            sparse_feature = gather_cl(sparse_feature, inv)
         return sparse_feature  # (B, N, C)
 
 

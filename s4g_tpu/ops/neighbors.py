@@ -23,6 +23,7 @@ interpolation weights match the reference bit-for-bit up to fp32 rounding.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -30,6 +31,31 @@ import jax.numpy as jnp
 from jax import lax
 
 Array = jax.Array
+
+# Behaviour env flags are read ONCE at import: they are consulted at trace
+# time inside jitted code, so later env mutations would silently miss the
+# jit cache anyway (ADVICE r2).  Patch these module attributes to override.
+_ENV_BQ_SLAB_IMPL = os.environ.get("S4G_BQ_SLAB_IMPL", "pallas")
+_ENV_BQ_IMPL = os.environ.get("S4G_BQ_IMPL")
+_ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
+_ENV_3NN_SLAB = os.environ.get("S4G_3NN_SLAB") == "1"
+
+
+def flat_gather_rows(x: Array, index: Array) -> Array:
+    """Batched row gather (B, M, W) x (B, M2) -> (B, M2, W) as ONE flat
+    single-table gather with batch-offset indices.  XLA's *batched* gather
+    lowering degrades super-linearly in B (bitcast_select chains measured
+    at b=2 in the round-3 traces), while a flat row gather stays
+    row-count-bound (~3 ns/row on v5e)."""
+    b, m, w = x.shape
+    if b == 1:
+        return jnp.take_along_axis(x, index[..., None], axis=1,
+                                   mode="promise_in_bounds")
+    off = (jnp.arange(b, dtype=index.dtype) * m)[:, None]
+    flat = jnp.take_along_axis(
+        x.reshape(1, b * m, w), (index + off).reshape(1, -1)[..., None],
+        axis=1, mode="promise_in_bounds")
+    return flat.reshape(b, index.shape[1], w)
 
 
 def pairwise_sqdist(a: Array, b: Array) -> Array:
@@ -168,12 +194,13 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     ckeys = lax.dynamic_index_in_dim(centroids, sorted_axis, axis=1,
                                      keepdims=False)       # (B, M)
     corder = jnp.argsort(ckeys, axis=1).astype(jnp.int32)  # (B, M)
-    cent_s = jnp.take_along_axis(centroids, corder[:, None, :], axis=2)
-    ckeys_s = jnp.take_along_axis(ckeys, corder, axis=1)   # (B, M)
+    cent_s = jnp.swapaxes(
+        flat_gather_rows(jnp.swapaxes(centroids, 1, 2), corder), 1, 2)
+    ckeys_s = lax.dynamic_index_in_dim(cent_s, sorted_axis, axis=1,
+                                       keepdims=False)     # (B, M)
 
-    import os
     use_kernel = (jax.default_backend() == "tpu"
-                  and os.environ.get("S4G_BQ_SLAB_IMPL", "pallas") != "xla")
+                  and _ENV_BQ_SLAB_IMPL != "xla")
 
     pad = (-m) % chunk
     num_chunks = (m + pad) // chunk
@@ -203,8 +230,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                 cnt_f.reshape(b, m + pad))
 
     if use_kernel:
-        # Fused Pallas slab kernel: per 256-centroid tile, a 2048-aligned
-        # window of BQ_SLAB_TILES key tiles (see
+        # Fused Pallas slab kernel: per BQ_C_TILE-centroid tile, a
+        # BQ_K_TILE-aligned window of BQ_SLAB_TILES key tiles (see
         # pallas/neighbor_kernels.py::ball_query_fused_slab_pallas).
         from .pallas.neighbor_kernels import (BQ_C_TILE, BQ_K_TILE,
                                               BQ_SLAB_TILES,
@@ -269,10 +296,11 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     idx_s = idx_s[:, :m]
     cnt_s = cnt_s[:, :m]
 
-    # Back to the caller's centroid order.
+    # Back to the caller's centroid order (flat row gathers: the batched
+    # take_along_axis forms lower super-linearly in B).
     inv = jnp.argsort(corder, axis=1).astype(jnp.int32)
-    idx = jnp.take_along_axis(idx_s, inv[:, :, None], axis=1)
-    count = jnp.take_along_axis(cnt_s, inv, axis=1)
+    idx = flat_gather_rows(idx_s, inv)
+    count = flat_gather_rows(cnt_s[..., None], inv)[..., 0]
     return idx, count
 
 
@@ -313,7 +341,7 @@ def ball_query(points: Array, centroids: Array, radius: float,
     n = points.shape[2]
     radius2 = radius * radius
 
-    if sorted_axis is not None and b == 1 and n > slab_capacity \
+    if sorted_axis is not None and n > slab_capacity \
             and impl != "pallas":
         return _ball_query_sorted_pruned(points, centroids, radius2,
                                          num_neighbours, chunk,
@@ -321,8 +349,7 @@ def ball_query(points: Array, centroids: Array, radius: float,
                                          slab_capacity)
 
     if impl == "auto":
-        import os
-        override = os.environ.get("S4G_BQ_IMPL")
+        override = _ENV_BQ_IMPL
         if override:
             impl = override
         else:
@@ -394,13 +421,15 @@ def _exact_resort3(idx: Array, query_xyz: Array, key_xyz: Array):
     k_t = jnp.swapaxes(key_xyz, 1, 2)                 # (B, N2, 3)
     if b == 1:
         sel = jnp.take_along_axis(k_t[:, :, None, :],
-                                  idx[..., None], axis=1)  # (B, N1, 3, 3)
+                                  idx[..., None], axis=1,
+                                  mode="promise_in_bounds")  # (B, N1, 3, 3)
     else:
         # Flat single-table gather: batched gathers lower super-linearly.
         off = (jnp.arange(b, dtype=idx.dtype) * n2)[:, None, None]
         flat = jnp.take_along_axis(
             k_t.reshape(1, b * n2, 3),
-            (idx + off).reshape(1, -1, 1), axis=1)
+            (idx + off).reshape(1, -1, 1), axis=1,
+            mode="promise_in_bounds")
         sel = flat.reshape(b, idx.shape[1], 3, 3)
     diff = sel - jnp.swapaxes(query_xyz, 1, 2)[:, :, None, :]
     d_exact = jnp.sum(diff * diff, axis=-1)            # (B, N1, 3)
@@ -532,9 +561,8 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
     # margin where key density concentrates), the whole-call fallback
     # fires, and the slab attempt becomes pure overhead.  Kept behind
     # S4G_3NN_SLAB=1 as exact, tested groundwork (docs/perf_roadmap.md).
-    import os as _os
     if sorted_axis is not None and query_xyz.shape[0] == 1 \
-            and _os.environ.get("S4G_3NN_SLAB") == "1" \
+            and _ENV_3NN_SLAB \
             and query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 25) \
             and key_xyz.shape[2] >= 4096 \
             and jax.default_backend() == "tpu" and impl in ("auto", "pallas"):
@@ -542,8 +570,7 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
                                     jnp.asarray(sorted_axis, jnp.int32))
         return _exact_resort3(idx, query_xyz, key_xyz)
     if impl == "auto":
-        import os
-        override = os.environ.get("S4G_3NN_IMPL")
+        override = _ENV_3NN_IMPL
         if override:
             impl = override
         else:

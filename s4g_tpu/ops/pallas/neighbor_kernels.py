@@ -472,7 +472,7 @@ NN_SLAB_TILES = 2   # key slab = 2 * 1024 keys per 256-query tile
 
 
 def _three_nn_slab_kernel(lo_ref, ax_ref, kl_ref, kr_ref, q_ref, k_ref,
-                          idx_ref, dist_ref, d_scr, *, n2):
+                          idx_ref, dist_ref, d_scr):
     """Query tile vs a per-tile key SLAB (scalar-prefetched window).
 
     Same exact difference-form arithmetic and tie-breaks as
@@ -552,7 +552,7 @@ def three_nn_slab_pallas(query_xyz: Array, key_xyz: Array, lo_tile: Array,
     k = _pad_planes(key_xyz, nk_pad, 1e9)[0]       # (8, NK_pad)
 
     num_q_tiles = nq_pad // Q_TILE
-    kernel = functools.partial(_three_nn_slab_kernel, n2=n2)
+    kernel = _three_nn_slab_kernel
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -122,18 +122,15 @@ class GraspDetector:
         enable_voxel = self._enable_voxel
         enable_outlier = self._enable_outlier
 
-        def detect_impl(variables, cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
-                        key, score_threshold: float, vertical_threshold: float,
-                        num_selected: int, collision_check: bool):
-            """cloud: (capacity, 3) padded camera-frame points."""
-            k_sample, k_importance = jax.random.split(key)
+        def prep_one(cloud: jnp.ndarray, cloud_valid: jnp.ndarray, k_sample):
+            """(capacity, 3) padded camera-frame points -> (N, 3) train-frame
+            model input."""
             # Camera frame -> training frame (grasp_detector.py:102).
             # HIGHEST precision: the TPU's default f32 matmul truncates
             # operands to bf16 in the MXU (~4e-3 relative), which would put
             # ~2 mm of noise on every input coordinate.
             train_cloud = jnp.matmul(cloud, real2train[:3, :3].T,
                                      precision=jax.lax.Precision.HIGHEST)
-
             if enable_voxel:
                 pre = preprocess_cloud(
                     train_cloud, k_sample, num_points=num_input,
@@ -142,24 +139,25 @@ class GraspDetector:
                     outlier_min_neighbors=(
                         proc_cfg.NUM_POINTS_THRESHOLD if enable_outlier else 1),
                     capacity=cloud.shape[0])
-                points = pre.points
-            else:
-                from .preprocessing import random_sample_fixed
-                idx = random_sample_fixed(k_sample, cloud_valid, num_input)
-                points = train_cloud[idx]
+                return pre.points
+            from .preprocessing import random_sample_fixed
+            idx = random_sample_fixed(k_sample, cloud_valid, num_input)
+            return train_cloud[idx]
 
-            data_batch = {"scene_points": points.T[None]}    # (1, 3, N)
-            preds = net.apply(variables, data_batch, train=False)
-
+        def post_one(points, preds, cloud, cloud_valid, k_importance,
+                     score_threshold, vertical_threshold, num_selected,
+                     collision_check):
+            """Post-processing + collision + importance sampling for ONE
+            scene.  points: (N, 3); preds: per-scene (unbatched) dict."""
             if "score" in preds:  # PN2_CLS: 4-bin translation decoding
                 post = post_process_predictions(
-                    points.T, preds["score"][0], preds["frame_R"][0],
-                    preds["frame_t"][0], score_threshold, vertical_threshold,
+                    points.T, preds["score"], preds["frame_R"],
+                    preds["frame_t"], score_threshold, vertical_threshold,
                     num_candidates=num_candidates)
             else:                 # PN2 regression-t (contact model)
                 post = post_process_predictions_regression(
-                    points.T, preds["scene_score_logits"][0],
-                    preds["frame_R"][0], preds["frame_t"][0],
+                    points.T, preds["scene_score_logits"],
+                    preds["frame_R"], preds["frame_t"],
                     score_threshold, vertical_threshold,
                     num_candidates=num_candidates)
 
@@ -174,24 +172,52 @@ class GraspDetector:
 
             sel = importance_sample(k_importance, post.scores, valid,
                                     num_selected)
-            any_valid = jnp.any(valid)
             return {
                 "poses": post.poses,
                 "scores": post.scores,
                 "valid": valid,
                 "selected": sel,
-                "any_valid": any_valid,
+                "any_valid": jnp.any(valid),
                 "num_valid": jnp.sum(valid.astype(jnp.int32)),
             }
+
+        def detect_impl(variables, cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
+                        key, score_threshold: float, vertical_threshold: float,
+                        num_selected: int, collision_check: bool):
+            """cloud: (capacity, 3) padded camera-frame points."""
+            k_sample, k_importance = jax.random.split(key)
+            points = prep_one(cloud, cloud_valid, k_sample)
+            data_batch = {"scene_points": points.T[None]}    # (1, 3, N)
+            preds = net.apply(variables, data_batch, train=False)
+            preds_one = jax.tree.map(lambda x: x[0], preds)
+            return post_one(points, preds_one, cloud, cloud_valid,
+                            k_importance, score_threshold, vertical_threshold,
+                            num_selected, collision_check)
+
+        def detect_batch_impl(variables, clouds, cloud_valids, keys,
+                              score_threshold: float, vertical_threshold: float,
+                              num_selected: int, collision_check: bool):
+            """Batched multi-scene inference with a REAL batch axis: the
+            model runs ONCE on (B, 3, N) so the batch-linear fast paths
+            (lane-sharded FPS, slab ball query with batch as a leading
+            Pallas grid axis, flat-chunk gathers) engage — a vmap of the
+            per-scene program instead batches the selection machinery
+            super-linearly (measured r2)."""
+            ks = jax.vmap(jax.random.split)(keys)            # (B, 2, ...)
+            points = jax.vmap(prep_one)(clouds, cloud_valids, ks[:, 0])
+            data_batch = {"scene_points": jnp.swapaxes(points, 1, 2)}
+            preds = net.apply(variables, data_batch, train=False)
+            return jax.vmap(
+                post_one, in_axes=(0, 0, 0, 0, 0, None, None, None, None)
+            )(points, preds, clouds, cloud_valids, ks[:, 1],
+              score_threshold, vertical_threshold, num_selected,
+              collision_check)
 
         # Both programs built ONCE here: re-building jax.jit wrappers per call
         # would make every invocation a fresh traced callable (retrace +
         # recompile). `variables` is an explicit argument, never a closure.
         detect_fn = jax.jit(detect_impl, static_argnums=(6, 7))
-        detect_batch_fn = jax.jit(
-            jax.vmap(detect_impl,
-                     in_axes=(None, 0, 0, 0, None, None, None, None)),
-            static_argnums=(6, 7))
+        detect_batch_fn = jax.jit(detect_batch_impl, static_argnums=(6, 7))
         return detect_fn, detect_batch_fn
 
     # -- public API -----------------------------------------------------------

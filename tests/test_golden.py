@@ -143,6 +143,75 @@ def test_detector_end_to_end_golden(tmp_path):
     np.testing.assert_allclose(scores, want["scores"], atol=1e-4)
 
 
+GOLDEN_DEPLOY = os.path.join(os.path.dirname(__file__), "golden",
+                             "detector_deploy.npz")
+
+
+def _run_deploy_golden_detector(tmp_dir):
+    """Deployment-NUMERICS golden (VERDICT r2 #7): 3-stage pyramid,
+    SORT_POINTS on, sharded FPS at every stage, the sorted-slab pruned
+    stage-1 ball query (8192 > slab capacity), and the bf16 backbone — the
+    code paths that actually serve traffic.  On CPU the XLA slab/shard
+    implementations run, which are differential-tested identical to the
+    TPU Pallas kernels, so drift in the shared semantics fails here."""
+    import yaml
+
+    from s4g_tpu.pipeline.detector import GraspDetector
+
+    cfg = {
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "bfloat16", "PN2": {
+            "NUM_INPUT": 8192,
+            "SORT_POINTS": True,
+            "FPS_SHARDS": 8,
+            "NUM_CENTROIDS": "(2048, 512, 128)",
+            "RADIUS": "(0.02, 0.08, 0.32)",
+            "NUM_NEIGHBOURS": "(32, 32, 32)",
+            "SA_CHANNELS": "((32, 32), (32, 64), (64, 64))",
+            "FP_CHANNELS": "((64, 64), (32, 32), (32, 32))",
+            "NUM_FP_NEIGHBOURS": "(3, 3, 3)",
+            "SEG_CHANNELS": "(32,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = os.path.join(tmp_dir, "deploy_golden.yaml")
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    det = GraspDetector(model=cfg_file, output_dir=tmp_dir,
+                        cloud_capacity=32768, num_candidates=256, seed=11)
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)
+    # vertical -1e9 truly disables the verticality filter (it is computed
+    # on RAW un-orthogonalized rotation columns, unbounded for random-init
+    # nets) and collision is off: random-weight poses all collide, and the
+    # collision kernel has its own differential tests + the r2 e2e golden.
+    # This snapshot targets the sorted/sharded/bf16 BACKBONE numerics.
+    poses, scores = det.detect(cloud, num_selected=8, score_threshold=0.0,
+                               verticalness_threshold=-1e9,
+                               collision_check=False, debug=False)
+    order = np.argsort(-scores, kind="stable")
+    return poses[order], scores[order]
+
+
+@pytest.mark.slow
+def test_detector_deployment_numerics_golden(tmp_path):
+    """Drift canary for the sorted-slab + sharded-FPS + bf16 serving path
+    (the round-2 golden covers only the f32/unsorted parity path)."""
+    if not os.path.exists(REFERENCE_SCENE):
+        pytest.skip("bundled scene not available")
+    assert os.path.exists(GOLDEN_DEPLOY), (
+        "deployment golden missing; run "
+        "`python tests/test_golden.py --regen-deploy`")
+    poses, scores = _run_deploy_golden_detector(str(tmp_path))
+    want = np.load(GOLDEN_DEPLOY)
+    assert poses.shape == want["poses"].shape, (
+        f"grasp count drifted: {poses.shape} vs {want['poses'].shape}")
+    np.testing.assert_allclose(poses, want["poses"], atol=1e-3,
+                               err_msg="deployment-path numerics drifted")
+    np.testing.assert_allclose(scores, want["scores"], atol=1e-3)
+
+
 if __name__ == "__main__":
     import sys
     import tempfile
@@ -153,5 +222,12 @@ if __name__ == "__main__":
         np.savez(GOLDEN_E2E, poses=poses, scores=scores)
         print(f"wrote {GOLDEN_E2E}: {poses.shape[0]} poses, "
               f"scores {scores.min():.4f}..{scores.max():.4f}")
+    elif "--regen-deploy" in sys.argv:
+        with tempfile.TemporaryDirectory() as tmp:
+            poses, scores = _run_deploy_golden_detector(tmp)
+        os.makedirs(os.path.dirname(GOLDEN_DEPLOY), exist_ok=True)
+        np.savez(GOLDEN_DEPLOY, poses=poses, scores=scores)
+        print(f"wrote {GOLDEN_DEPLOY}: {poses.shape[0]} poses, "
+              f"scores {scores.min():.4f}..{scores.max():.4f}")
     else:
-        print("usage: python tests/test_golden.py --regen")
+        print("usage: python tests/test_golden.py --regen|--regen-deploy")

@@ -222,3 +222,38 @@ def test_sort_points_permutation_equivariant(rng):
         np.testing.assert_allclose(np.asarray(out[key])[:, :, perm],
                                    np.asarray(out_p[key]), atol=1e-5,
                                    err_msg=key)
+
+
+def test_sorted_batched_forward_matches_single(rng):
+    """Batched serving correctness: with SORT_POINTS + sharded FPS, a real
+    (B, 3, N) batch through the backbone must equal the per-scene runs
+    stacked (the batch-linear fast paths may not change results).  Scenes
+    share the same widest axis so the batched shared-axis choice matches
+    each scene's own choice."""
+    N = 256
+    cfg = load_cfg_from_dict({
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": N, "SORT_POINTS": True, "FPS_SHARDS": 4,
+            "NUM_CENTROIDS": (64, 16),
+            "RADIUS": (0.1, 0.3),
+            "NUM_NEIGHBOURS": (8, 8),
+            "SA_CHANNELS": ((8, 16), (16, 32)),
+            "FP_CHANNELS": ((16, 16), (16, 8)),
+            "NUM_FP_NEIGHBOURS": (3, 3),
+            "SEG_CHANNELS": (16,),
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+    })
+    net, _, _ = build_model(cfg)
+    scale = np.array([1.0, 0.5, 0.3], np.float32)[None, :, None]
+    pts = jnp.asarray(rng.rand(3, 3, N).astype(np.float32) * scale)
+    variables = net.init(jax.random.key(0),
+                         {"scene_points": pts[:1]}, train=False)
+    out_b = net.apply(variables, {"scene_points": pts}, train=False)
+    for i in range(3):
+        out_1 = net.apply(variables, {"scene_points": pts[i:i + 1]},
+                          train=False)
+        for key in ("score", "frame_R", "frame_t", "movable_logits"):
+            np.testing.assert_allclose(
+                np.asarray(out_b[key])[i], np.asarray(out_1[key])[0],
+                atol=1e-5, err_msg=f"scene {i} {key}")

@@ -220,3 +220,20 @@ class TestBallQuerySortedPruned:
         np.testing.assert_array_equal(np.asarray(pr_i), np.asarray(full_i))
         np.testing.assert_array_equal(np.asarray(pr_c), np.asarray(full_c))
 
+
+    def test_batched_matches_full_scan(self, rng):
+        """Batch axis through the sorted-pruned path (batch serving): every
+        scene's slab result must equal its full scan."""
+        b, n, m = 3, 8192, 320
+        raw = rng.rand(b, 3, n).astype(np.float32) * 0.6
+        order = np.argsort(raw[:, 1, :], axis=1)
+        pts = np.take_along_axis(raw, order[:, None, :], axis=2)
+        cidx = np.stack([rng.choice(n, m, replace=False) for _ in range(b)])
+        cents = np.take_along_axis(pts, cidx[:, None, :], axis=2)
+        full_i, full_c = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents),
+                                        0.03, 16)
+        pr_i, pr_c = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents),
+                                    0.03, 16, sorted_axis=jnp.int32(1),
+                                    slab_capacity=4096)
+        np.testing.assert_array_equal(np.asarray(pr_i), np.asarray(full_i))
+        np.testing.assert_array_equal(np.asarray(pr_c), np.asarray(full_c))

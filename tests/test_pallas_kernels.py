@@ -115,9 +115,10 @@ def test_shared_mlp_fused_eval_matches_flax(monkeypatch):
             rng.rand(*layer["bn"]["var"].shape).astype(np.float32) + 0.5)
     vs = {"params": flax.core.unfreeze(vs)["params"], "batch_stats": stats}
 
-    monkeypatch.setenv("S4G_MLP_IMPL", "xla")
+    from s4g_tpu.models import nn_layers
+    monkeypatch.setattr(nn_layers, "ENV_MLP_IMPL", "xla")
     ref_out = mlp.apply(vs, x, train=False, max_pool_k=16)
-    monkeypatch.setenv("S4G_MLP_IMPL", "pallas_interpret")
+    monkeypatch.setattr(nn_layers, "ENV_MLP_IMPL", "pallas_interpret")
     fused = mlp.apply(vs, x, train=False, max_pool_k=16)
     assert fused.shape == ref_out.shape == (2, 6, 12)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref_out),
@@ -126,9 +127,10 @@ def test_shared_mlp_fused_eval_matches_flax(monkeypatch):
     # un-pooled inputs stay on the XLA path (measured faster there) even
     # when forcing — both calls must agree exactly
     y = jnp.asarray(rng.randn(2, 50, 5).astype(np.float32))
-    monkeypatch.setenv("S4G_MLP_IMPL", "xla")
+    from s4g_tpu.models import nn_layers
+    monkeypatch.setattr(nn_layers, "ENV_MLP_IMPL", "xla")
     a = mlp.apply(vs, y, train=False)
-    monkeypatch.setenv("S4G_MLP_IMPL", "pallas_interpret")
+    monkeypatch.setattr(nn_layers, "ENV_MLP_IMPL", "pallas_interpret")
     b = mlp.apply(vs, y, train=False)
     np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
 

@@ -347,3 +347,54 @@ def test_detector_sorted_fast_path(tmp_path, rng):
         eye = np.einsum("nij,nkj->nik", r, r)
         np.testing.assert_allclose(eye, np.tile(np.eye(3), (len(r), 1, 1)),
                                    atol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+def test_detector_batched_sorted_deployment_path(tmp_path, rng):
+    """detect_batch with the deployment flags (SORT_POINTS + sharded FPS):
+    the model runs on a REAL (B, 3, N) batch axis and each scene's result
+    must match the single-scene detect_batch of just that scene (the
+    batched program may not couple scenes)."""
+    import yaml
+    cfg = {
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": 256,
+            "SORT_POINTS": True,
+            "FPS_SHARDS": 4,
+            "NUM_CENTROIDS": "(64, 16)",
+            "RADIUS": "(0.05, 0.2)",
+            "NUM_NEIGHBOURS": "(16, 16)",
+            "SA_CHANNELS": "((16, 16), (16, 32))",
+            "FP_CHANNELS": "((16, 16), (16, 16))",
+            "NUM_FP_NEIGHBOURS": "(3, 3)",
+            "SEG_CHANNELS": "(16,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = tmp_path / "sorted_batch.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    from s4g_tpu.pipeline.detector import GraspDetector
+
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)
+    sel = np.random.RandomState(0).choice(len(cloud), (2, 2048), replace=True)
+    clouds = cloud[sel]                       # (2, 2048, 3)
+
+    det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=4096, num_candidates=32, seed=3)
+    results = det.detect_batch(clouds, num_selected=3, score_threshold=0.0,
+                               verticalness_threshold=-1.0)
+    assert len(results) == 2
+    for poses, scores in results:
+        assert poses.ndim == 3 and poses.shape[1:] == (4, 4)
+        assert len(poses) == len(scores)
+
+    # Per-scene independence: rebuild (fresh RNG stream), batch of ONE scene.
+    det2 = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=4096, num_candidates=32, seed=3)
+    solo = det2.detect_batch(clouds[:1], num_selected=3, score_threshold=0.0,
+                             verticalness_threshold=-1.0)
+    np.testing.assert_allclose(solo[0][0], results[0][0], atol=1e-5)
+    np.testing.assert_allclose(solo[0][1], results[0][1], atol=1e-5)

@@ -1,0 +1,94 @@
+"""Mesh-asset datagen validation (VERDICT r2 missing #4 / #9).
+
+Runs the FULL data factory (MuJoCo drop sim -> z-buffer render -> Darboux
+grading -> label transfer -> movability -> merge) on a REAL mesh asset —
+the reference's bundled `objects/mesh/camera.obj` — instead of the
+primitive geoms the test suite uses.  Prints label statistics so the run
+is auditable.
+
+Forces the CPU backend (the grading math is exact on either backend) so it
+can run alongside TPU measurements.
+
+Usage: python tools/datagen_mesh_qa.py [--out /tmp/s4g_mesh_qa]
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Force CPU before jax initializes (conftest recipe: the hosting image
+# pre-registers the TPU plugin).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+if jax.default_backend() != "cpu":  # pragma: no cover
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend import backend as _jexb
+    _jexb.clear_backends()
+
+import numpy as np  # noqa: E402
+
+CAMERA_OBJ = "/root/reference/objects/mesh/camera.obj"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="/tmp/s4g_mesh_qa")
+    parser.add_argument("--views", type=int, default=2)
+    args = parser.parse_args()
+
+    from s4g_tpu.datagen.generate import generate_end_to_end
+    from s4g_tpu.datagen.mesh_tools import load_obj
+    from s4g_tpu.datagen.scene_sim import ObjectSpec
+
+    verts, tris = load_obj(CAMERA_OBJ)
+    extent = verts.max(0) - verts.min(0)
+    print(f"[mesh] camera.obj: {len(verts)} verts, {len(tris)} tris, "
+          f"extent {np.round(extent, 3).tolist()} m", flush=True)
+
+    # Two instances of the real mesh dropped on the table.  MuJoCo 3.x
+    # loads OBJ assets directly; collision uses the convex hull (the
+    # reference ships V-HACD decompositions for its 118 YCB meshes,
+    # render/plain_vhacd.py — hull collision is the right fidelity for a
+    # single-object validation run).
+    specs = [ObjectSpec(name=f"cam{i}", geom_type="mesh",
+                        mesh_files=[CAMERA_OBJ]) for i in range(2)]
+    meshes = {f"cam{i}": (verts.astype(np.float64), tris) for i in range(2)}
+
+    merged = generate_end_to_end(meshes, specs, args.out, scene_id=0,
+                                 num_views=args.views, percentage=1.1,
+                                 seed=0, label_capacity=16384,
+                                 render_wh=(640, 480))
+    assert merged, "no views produced"
+
+    stats = []
+    for path in merged:
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        cloud = np.asarray(d["point_cloud"])
+        search = np.asarray(d["search_score"])     # (C, L, T)
+        anti = np.asarray(d.get("antipodal_score", np.zeros(0)))
+        stats.append({
+            "view": os.path.basename(path),
+            "num_points": int(cloud.shape[0]),
+            "num_labeled_grasp_points": int(search.shape[0]),
+            "search_score_max": round(float(search.max()), 2)
+            if search.size else 0,
+            "frac_search_gt_50": round(float((search > 50).mean()), 4)
+            if search.size else 0,
+            "antipodal_max": round(float(anti.max()), 3)
+            if anti.size else None,
+            "keys": sorted(d.keys()),
+        })
+    print("[merged] " + json.dumps(stats, indent=1), flush=True)
+    assert any(s["num_labeled_grasp_points"] > 0 for s in stats), \
+        "no labeled grasp points on the mesh scene"
+    print("MESH DATAGEN QA COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Quantify the deployment-config divergence at pose level ("parity at
+speed", VERDICT r2 #5).
+
+The benched deployment configuration (curvature_model.yaml: bf16 backbone,
+SORT_POINTS, FPS_SHARDS=128) diverges from the reference-parity numerics
+(f32, unsorted, exact FPS) at neighbour-selection level (docs/divergences.md
+items 5-7).  This tool runs BOTH configurations with the SAME weights on the
+SAME 25,600-point sample of the bundled real scene and reports:
+
+* per-point score field agreement (max |delta|, fraction > 0.05);
+* top-50 grasp-point set overlap (the reference's selection pool,
+  file_logger_cls.py:197-218);
+* pose deltas over the matched top candidates (translation mm, rotation
+  geodesic deg).
+
+Usage:
+    python tools/parity_at_speed.py compare [ckpt_dir]   # correctness diff
+    python tools/parity_at_speed.py time-parity          # scenes/sec, f32 path
+    (deployment scenes/sec comes from bench.py — run solo)
+
+No reference .pth is shipped in this environment, so "same weights" means a
+framework checkpoint (pass the at-scale run's dir) or a fixed random init.
+"""
+
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def _load_scene(rng, n=25600):
+    scene = np.load("/root/reference/inference/2638_view_0.p",
+                    allow_pickle=True)
+    cloud = scene["point_cloud"].astype(np.float32)      # (3, n)
+    sel = rng.choice(cloud.shape[1], n, replace=cloud.shape[1] < n)
+    return cloud[:, sel]
+
+
+def _build(cfg_overrides):
+    from s4g_tpu.configs.config import load_cfg_from_file
+    from s4g_tpu.models import build_model
+    cfg = load_cfg_from_file("/root/repo/s4g_tpu/configs/curvature_model.yaml")
+    pn2 = dataclasses.replace(cfg.MODEL.PN2, **cfg_overrides.get("PN2", {}))
+    model = dataclasses.replace(cfg.MODEL, PN2=pn2,
+                                **cfg_overrides.get("MODEL", {}))
+    cfg = dataclasses.replace(cfg, MODEL=model)
+    net, _, _ = build_model(cfg)
+    return cfg, net
+
+
+PARITY = {"MODEL": {"COMPUTE_DTYPE": "float32"},
+          "PN2": {"SORT_POINTS": False, "FPS_SHARDS": 1}}
+DEPLOY = {}   # the released YAML as-is
+
+
+def _variables(net, pts, ckpt_dir):
+    import jax
+    if ckpt_dir:
+        import logging
+        from s4g_tpu.utils.checkpoint import Checkpointer
+        target = net.init(jax.random.key(0), {"scene_points": pts},
+                          train=False)
+        state = Checkpointer(ckpt_dir, logging.getLogger("parity")).load(
+            None, resume=True, target=None)
+        # train-state pytrees store params/batch_stats under "model"
+        src = state.get("model", state)
+        return {k: src[k] for k in target}
+    return net.init(jax.random.key(0), {"scene_points": pts}, train=False)
+
+
+def compare(ckpt_dir=None):
+    import jax
+    import jax.numpy as jnp
+    from s4g_tpu.pipeline.postprocessing import post_process_predictions
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(_load_scene(rng)[None])            # (1, 3, 25600)
+
+    _, net_p = _build(PARITY)
+    _, net_d = _build(DEPLOY)
+    variables = _variables(net_p, pts, ckpt_dir)
+
+    out = {}
+    for name, net in (("parity", net_p), ("deploy", net_d)):
+        preds = jax.jit(
+            lambda v, p, n=net: n.apply(v, {"scene_points": p}, train=False)
+        )(variables, pts)
+        post = post_process_predictions(
+            pts[0], preds["score"][0], preds["frame_R"][0],
+            preds["frame_t"][0], 0.3, -1.0, num_candidates=1024)
+        out[name] = {
+            "score": np.asarray(preds["score"][0]),      # (C, N)
+            "poses": np.asarray(post.poses),             # (K, 4, 4)
+            "scores": np.asarray(post.scores),
+            "valid": np.asarray(post.valid),
+            "cand_point": np.asarray(post.poses[:, :3, 3]),
+        }
+
+    # Score field agreement (expectation over bins, the selection signal).
+    def expect(score):
+        p = np.exp(score - score.max(0)) / np.exp(score - score.max(0)).sum(0)
+        return (p * np.arange(score.shape[0])[:, None]).sum(0)
+
+    ep, ed = expect(out["parity"]["score"]), expect(out["deploy"]["score"])
+    d_score = np.abs(ep - ed)
+
+    # Top-50 candidate PO INT overlap: candidates are point-anchored; match
+    # by translation proximity (points are identical in both runs).
+    def top_positions(o, k=50):
+        ordr = np.argsort(-np.where(o["valid"], o["scores"], -np.inf))[:k]
+        return o["cand_point"][ordr], o["poses"][ordr]
+
+    pp, pose_p = top_positions(out["parity"])
+    pd, pose_d = top_positions(out["deploy"])
+    d2 = np.linalg.norm(pp[:, None] - pd[None], axis=-1)   # (50, 50) metres
+    match = d2.min(1) < 1e-4                     # same anchor point selected
+    overlap = float(match.mean())
+
+    # Pose deltas over matched anchors.
+    j = d2.argmin(1)
+    t_err = np.linalg.norm(pose_p[match][:, :3, 3]
+                           - pose_d[j[match]][:, :3, 3], axis=-1)
+    rp, rd = pose_p[match][:, :3, :3], pose_d[j[match]][:, :3, :3]
+    cosang = (np.einsum("nij,nij->n", rp, rd) - 1.0) / 2.0
+    ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+
+    print(json.dumps({
+        "weights": "checkpoint" if ckpt_dir else "fixed random init",
+        "score_expectation_max_abs_delta": round(float(d_score.max()), 4),
+        "score_expectation_frac_gt_0p05": round(float((d_score > 0.05).mean()), 4),
+        "top50_anchor_overlap": overlap,
+        "matched_pose_t_delta_mm_max": round(float(t_err.max() * 1000), 3)
+        if match.any() else None,
+        "matched_pose_R_delta_deg_max": round(float(ang.max()), 3)
+        if match.any() else None,
+        "n_valid_parity": int(out["parity"]["valid"].sum()),
+        "n_valid_deploy": int(out["deploy"]["valid"].sum()),
+    }))
+
+
+def time_parity():
+    import jax
+    import jax.numpy as jnp
+    from bench import slope_time
+    from s4g_tpu.pipeline.postprocessing import post_process_predictions
+    from s4g_tpu.pipeline.collision import batch_view_non_collision
+    from s4g_tpu.utils.math_utils import batch_transformation_inv
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(_load_scene(rng))
+
+    _, net = _build(PARITY)
+    variables = jax.jit(
+        lambda k, p: net.init(k, {"scene_points": p}, train=False)
+    )(jax.random.key(0), pts[None])
+
+    def detect(p):
+        preds = net.apply(variables, {"scene_points": p[None]}, train=False)
+        post = post_process_predictions(
+            p, preds["score"][0], preds["frame_R"][0], preds["frame_t"][0],
+            0.3, -1.0, num_candidates=1024)
+        g2l = batch_transformation_inv(post.poses)
+        ok = batch_view_non_collision(g2l, p.T)
+        return post.poses.sum() + post.scores.sum() + (post.valid & ok).sum()
+
+    det_t = slope_time(detect, (pts,))
+    print(json.dumps({
+        "config": "parity (f32, unsorted, exact FPS)",
+        "e2e_ms_per_scene": round(det_t * 1000, 2),
+        "scenes_per_sec": round(1.0 / det_t, 2),
+    }))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    if mode == "compare":
+        compare(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif mode == "time-parity":
+        time_parity()
+    else:
+        raise SystemExit(f"unknown mode {mode}")

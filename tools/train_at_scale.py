@@ -36,6 +36,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/s4g_scale")
     parser.add_argument("--scenes", type=int, default=8)
+    parser.add_argument("--val-scenes", type=int, default=2,
+                        help="extra held-out scenes for the val pass")
     parser.add_argument("--views", type=int, default=2)
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch", type=int, default=4)
@@ -57,6 +59,8 @@ def main():
              for i, s in enumerate(sizes)]
 
     data_dir = os.path.join(args.out, "merged_data")
+    val_root = os.path.join(args.out, "val")
+    val_dir = os.path.join(val_root, "merged_data")
     if not args.skip_datagen:
         tic = time.time()
         total = 0
@@ -68,6 +72,14 @@ def main():
             total += len(merged)
             print(f"[datagen] scene {scene_id}: {len(merged)} views "
                   f"({time.time() - tic:.0f}s elapsed)", flush=True)
+        for scene_id in range(args.val_scenes):   # held-out val scenes
+            merged = generate_end_to_end(
+                meshes, specs, val_root, scene_id=scene_id,
+                num_views=args.views, percentage=1.1, seed=9000 + scene_id,
+                label_capacity=16384, render_wh=(640, 480))
+            total += len(merged)
+            print(f"[datagen] val scene {scene_id}: {len(merged)} views",
+                  flush=True)
         print(f"[datagen] {total} views in {time.time() - tic:.0f}s",
               flush=True)
 
@@ -96,16 +108,22 @@ def main():
         "SCHEDULER": {"MAX_EPOCH": epochs, "TYPE": "StepLR",
                       "StepLR": {"step_size": 4000, "gamma": 0.5}},
         "TRAIN": {"BATCH_SIZE": args.batch, "LOG_PERIOD": 2,
-                  "CHECKPOINT_PERIOD": 10000,
+                  "CHECKPOINT_PERIOD": 10000, "VAL_PERIOD": 25,
                   "AUGMENTATION": ("PointCloudRotate",)},
     })
     print(f"[train] {len(ds)} batches/epoch x {epochs} epochs "
           f"(batch {args.batch}, {args.num_points} pts)", flush=True)
 
+    val_ds = None
+    if os.path.isdir(val_dir) and args.val_scenes > 0:
+        val_ds = SceneGraspDataset(val_dir, num_points=args.num_points,
+                                   score_classes=3, batch_size=args.batch,
+                                   num_frame_points=512, seed=1)
+
     trainer = Trainer(cfg, output_dir=os.path.join(args.out, "train_out"),
                       steps_per_epoch=steps_per_epoch)
     t0 = time.time()
-    state = trainer.fit(ds)
+    state = trainer.fit(ds, val_data=val_ds)
     wall = time.time() - t0
     steps = int(state.step)
     print(f"[train] {steps} steps in {wall:.0f}s "
@@ -126,10 +144,72 @@ def main():
                                              jax.random.key(i))
     jax.block_until_ready(scalars)
     steady = (time.time() - t1) / reps
+
+    # Final val pass over the held-out scenes (VERDICT r2 #8).
+    val_metrics = None
+    if val_ds is not None:
+        from s4g_tpu.utils.logger import MetricLogger
+        vm = MetricLogger(delimiter="  ")
+        for vb in val_ds:
+            vs = trainer._val_step(state, shard_batch(trainer.mesh, vb))
+            vm.update(**jax.tree.map(np.asarray, vs))
+        val_metrics = {k: round(m.global_avg, 4)
+                       for k, m in vm.meters.items()}
+        print("[val] " + json.dumps(val_metrics), flush=True)
+
+    # Detection QA with the at-scale-trained weights at full resolution:
+    # held-out scene -> render -> preprocess -> detect -> sanity stats.
+    import jax.numpy as jnp
+    from s4g_tpu.datagen.render import render_scene_views, table_mesh
+    from s4g_tpu.datagen.scene_sim import TableEnv
+    from s4g_tpu.models import build_model
+    from s4g_tpu.pipeline.postprocessing import post_process_predictions
+    from s4g_tpu.pipeline.collision import batch_view_non_collision
+    from s4g_tpu.pipeline.preprocessing import preprocess_cloud
+    from s4g_tpu.utils.math_utils import batch_transformation_inv
+
+    env = TableEnv(specs, percentage=1.1, random_seed=777)
+    pose_dict = env.run()
+    views = render_scene_views({n: meshes[n] for n in pose_dict}, pose_dict,
+                               table_mesh=table_mesh(),
+                               rng=np.random.RandomState(0),
+                               width=640, height=480)
+    clean, noisy, cam = views[0]
+    net, _, _ = build_model(cfg)
+    world2cam = np.linalg.inv(cam)
+    noisy_cam = (world2cam[:3, :3] @ noisy.T + world2cam[:3, 3:4]).T
+    pre = preprocess_cloud(jnp.asarray(noisy_cam.astype(np.float32)),
+                           jax.random.key(0),
+                           num_points=args.num_points, capacity=131072)
+    batch_q = {"scene_points": pre.points.T[None]}
+    preds = net.apply(state.variables, batch_q, train=False)
+    post = post_process_predictions(
+        pre.points.T, preds["score"][0], preds["frame_R"][0],
+        preds["frame_t"][0], score_threshold=0.4, vertical_threshold=-1e9,
+        num_candidates=512, train2real=jnp.eye(4))
+    g2l = batch_transformation_inv(post.poses)
+    no_collision = batch_view_non_collision(
+        g2l, jnp.asarray(noisy_cam.astype(np.float32)))
+    valid = np.asarray(post.valid & no_collision)
+    poses_cam = np.asarray(post.poses)[valid]
+    poses_w = np.einsum("ij,njk->nik", cam.astype(np.float32), poses_cam)
+    heights = poses_w[:, 2, 3] if valid.sum() else np.zeros(0)
+    detect_qa = {
+        "num_valid_grasps": int(valid.sum()),
+        "top_score": round(float(np.asarray(post.scores)[0]), 4),
+        "frac_heights_in_table_band": round(
+            float(((heights > 0.74) & (heights < 0.92)).mean()), 4)
+        if valid.sum() else None,
+        "num_points": args.num_points,
+    }
+    print("[detect-qa] " + json.dumps(detect_qa), flush=True)
+
     summary = {
         "steps": steps,
         "steady_state_s_per_step": round(steady, 3),
         "final_scalars": {k: round(float(v), 4) for k, v in scalars.items()},
+        "val_metrics": val_metrics,
+        "detect_qa": detect_qa,
         "wall_s": round(wall, 1),
         "batch": args.batch,
         "num_points": args.num_points,
