@@ -133,10 +133,10 @@ class PointNetSAModule(nn.Module):
                 centroid_feature = (gather_cl(feature, index)
                                     if feature is not None else None)
 
-            nbr_index, _ = ops.ball_query(
-                _cf(xyz), _cf(new_xyz), self.radius, self.num_neighbours,
-                sorted_axis=sorted_axis)
             if feature is not None:
+                nbr_index, _ = ops.ball_query(
+                    _cf(xyz), _cf(new_xyz), self.radius,
+                    self.num_neighbours, sorted_axis=sorted_axis)
                 # ONE combined [xyz || feature] gather: a second width-3
                 # gather costs as much as the wide one (XLA row gathers are
                 # row-count bound, ~3 ns/row on v5e), so fold xyz into the
@@ -154,8 +154,14 @@ class PointNetSAModule(nn.Module):
                     parts = [group_xyz] + parts
                 group_feature = jnp.concatenate(parts, axis=-1)
             else:
-                group_xyz = group_cl(xyz, nbr_index) - new_xyz[:, :, None, :]
-                group_feature = group_xyz
+                # xyz-only stage: rel-xyz comes fused out of the slab ball
+                # query (in-kernel emission on the TPU sorted route; a flat
+                # gather with identical values elsewhere) — no (M*K)-row
+                # gather in the model graph.
+                _, _, group_xyz = ops.ball_query_grouped(
+                    _cf(xyz), _cf(new_xyz), self.radius,
+                    self.num_neighbours, sorted_axis=sorted_axis)
+                group_feature = group_xyz.astype(xyz.dtype)
 
         mlp = SharedMLP(self.mlp_channels, dtype=self.dtype, name="mlp")
         if self.pool == "max":

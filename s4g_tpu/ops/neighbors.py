@@ -164,7 +164,7 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
 def _ball_query_sorted_pruned(points: Array, centroids: Array,
                               radius2: float, num_neighbours: int,
                               chunk: int, sorted_axis: Array,
-                              slab_capacity: int):
+                              slab_capacity: int, emit_rel: bool = False):
     """Slab-pruned ball query for scenes whose points are sorted ascending
     along coordinate `sorted_axis` (traced scalar, shared by the batch).
 
@@ -229,6 +229,18 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
         return (idx_f.reshape(b, m + pad, num_neighbours),
                 cnt_f.reshape(b, m + pad))
 
+    def _rel_sorted(idx_sp, cnt_sp):
+        """Gather-based rel-xyz in SORTED centroid order, (B, 3, K, m+pad):
+        the fallback twin of the kernel's fused emission (count == 0 lanes
+        are zeroed to match the kernel contract)."""
+        g = flat_gather_rows(
+            jnp.swapaxes(points, 1, 2),
+            idx_sp.reshape(b, (m + pad) * num_neighbours))
+        rel = (g.reshape(b, m + pad, num_neighbours, 3)
+               - jnp.swapaxes(cent_p, 1, 2)[:, :, None, :])
+        rel = jnp.where(cnt_sp[..., None, None] > 0, rel, 0.0)
+        return jnp.transpose(rel, (0, 3, 2, 1))
+
     if use_kernel:
         # Fused Pallas slab kernel: per BQ_C_TILE-centroid tile, a
         # BQ_K_TILE-aligned window of BQ_SLAB_TILES key tiles (see
@@ -257,13 +269,29 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
 
         def kern(_):
             radius_py = float(radius2) ** 0.5
-            i_k, c_k = ball_query_fused_slab_pallas(
-                points, cent_s, lo_tile, radius_py, num_neighbours)
+            out_k = ball_query_fused_slab_pallas(
+                points, cent_s, lo_tile, radius_py, num_neighbours,
+                False, emit_rel)
+            i_k, c_k = out_k[0], out_k[1]
             pad_k = jnp.zeros((b, pad, num_neighbours), jnp.int32)
-            return (jnp.concatenate([i_k, pad_k], axis=1),
-                    jnp.concatenate([c_k, pad_k[:, :, 0]], axis=1))
+            i_p = jnp.concatenate([i_k, pad_k], axis=1)
+            c_p = jnp.concatenate([c_k, pad_k[:, :, 0]], axis=1)
+            if not emit_rel:
+                return i_p, c_p
+            rel_p = jnp.concatenate(
+                [out_k[2],
+                 jnp.zeros((b, 3, num_neighbours, pad), jnp.float32)],
+                axis=3)
+            return i_p, c_p, rel_p
 
-        idx_s, cnt_s = lax.cond(overflow, full_flat, kern, operand=None)
+        if emit_rel:
+            def full_flat_rel(_):
+                i_f, c_f = full_flat(None)
+                return i_f, c_f, _rel_sorted(i_f, c_f)
+            idx_s, cnt_s, rel_s = lax.cond(overflow, full_flat_rel, kern,
+                                           operand=None)
+        else:
+            idx_s, cnt_s = lax.cond(overflow, full_flat, kern, operand=None)
     else:
         kmin = ckeys_p.reshape(b, num_chunks, chunk)[:, :, 0] - radius
         kmax = ckeys_p.reshape(b, num_chunks, chunk)[:, :, -1] + radius
@@ -292,6 +320,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                     cnt_p.reshape(b, m + pad))
 
         idx_s, cnt_s = lax.cond(overflow, full_flat, pruned, operand=None)
+        if emit_rel:
+            rel_s = _rel_sorted(idx_s, cnt_s)
 
     idx_s = idx_s[:, :m]
     cnt_s = cnt_s[:, :m]
@@ -301,6 +331,12 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     inv = jnp.argsort(corder, axis=1).astype(jnp.int32)
     idx = flat_gather_rows(idx_s, inv)
     count = flat_gather_rows(cnt_s[..., None], inv)[..., 0]
+    if emit_rel:
+        rel_cl = jnp.transpose(rel_s[:, :, :, :m], (0, 3, 2, 1))
+        rel = flat_gather_rows(
+            rel_cl.reshape(b, m, 3 * num_neighbours), inv
+        ).reshape(b, m, num_neighbours, 3)
+        return idx, count, rel
     return idx, count
 
 
@@ -405,6 +441,41 @@ def ball_query(points: Array, centroids: Array, radius: float,
     return idx, count
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
+def ball_query_grouped(points: Array, centroids: Array, radius: float,
+                       num_neighbours: int, chunk: int = 512,
+                       sorted_axis: Optional[Array] = None,
+                       slab_capacity: int = 6144):
+    """Ball query that ALSO returns the grouped relative coordinates
+    rel = points[index] - centroid, (B, M, K, 3) f32 — the SA-stage
+    grouped-xyz input (reference grouping_kernel.cu:32-53 + modules.py:44).
+
+    On the sorted-slab Pallas route the rel tensor is emitted inside the
+    kernel while the key coordinates sit in VMEM (one exact one-hot MXU
+    extraction per slot), replacing the (M*K)-row XLA gather that costs
+    0.84 ms at deployment scale.  Every other route computes the identical
+    values with a flat row gather.  count == 0 centroids emit rel = 0 on
+    all routes (unreachable when centroids are drawn from `points`, as in
+    SA stages: a centroid is strictly within any radius of itself).
+    """
+    b, _, m = centroids.shape
+    n = points.shape[2]
+    if sorted_axis is not None and n > slab_capacity:
+        return _ball_query_sorted_pruned(points, centroids, radius * radius,
+                                         num_neighbours, chunk,
+                                         jnp.asarray(sorted_axis, jnp.int32),
+                                         slab_capacity, emit_rel=True)
+    idx, count = ball_query(points, centroids, radius, num_neighbours,
+                            chunk=chunk, sorted_axis=sorted_axis,
+                            slab_capacity=slab_capacity)
+    g = flat_gather_rows(jnp.swapaxes(points, 1, 2).astype(jnp.float32),
+                         idx.reshape(b, m * num_neighbours))
+    rel = (g.reshape(b, m, num_neighbours, 3)
+           - jnp.swapaxes(centroids, 1, 2)[:, :, None, :].astype(jnp.float32))
+    rel = jnp.where(count[..., None, None] > 0, rel, 0.0)
+    return idx, count, rel
+
+
 def _exact_resort3(idx: Array, query_xyz: Array, key_xyz: Array):
     """Recompute exact difference-form distances for the 3 selected
     neighbours (matches the CUDA arithmetic, interpolate_kernel.cu:60) and
@@ -485,11 +556,16 @@ def _three_nn_select_xla(query_xyz: Array, key_xyz: Array, chunk: int):
 def _three_nn_sorted_slab(query_xyz: Array, key_xyz: Array,
                           sorted_axis: Array, interpret: bool = False):
     """Slab-pruned 3-NN selection (both point sets sorted along
-    `sorted_axis`): run the Pallas slab kernel, then lax.cond to the full
-    Pallas scan if ANY query's verification flag fails (see
+    `sorted_axis`): run the Pallas slab kernel, then PATCH the queries
+    whose verification flag fails with a full Pallas scan over just those
+    queries (fixed-capacity compaction; see
     pallas/neighbor_kernels.py::_three_nn_slab_kernel).  Selection
-    arithmetic is the exact difference form of the full kernel, so a
-    verified slab result is bit-identical to the full scan."""
+    arithmetic is the exact difference form of the full kernel, so the
+    combined result is bit-identical to the full scan: verified queries by
+    the slab proof, failed queries by re-scan.  Only when more than
+    PATCH_CAP (~17%) of queries fail does the whole-call fallback fire
+    (round-2 measured ~7% on real scenes — the whole-call form made the
+    slab route a net loss, docs/perf_roadmap.md)."""
     from .pallas.neighbor_kernels import (NN_K_TILE, NN_SLAB_TILES, Q_TILE,
                                           three_nn_pallas,
                                           three_nn_slab_pallas)
@@ -519,14 +595,24 @@ def _three_nn_sorted_slab(query_xyz: Array, key_xyz: Array,
     idx_s, ok = three_nn_slab_pallas(query_xyz, key_xyz, lo_tile,
                                      sorted_axis, kleft, kright, interpret)
 
-    def slab(_):
-        return idx_s
+    num_fail = jnp.sum((~ok).astype(jnp.int32))
+    cap_p = min(nq_pad, max(Q_TILE, ((n1 // 6 + 255) // 256) * 256))
+
+    def patch(_):
+        # Compact the failing query positions into a fixed-size buffer
+        # (fill slots point at query 0; its re-scanned rows are identical
+        # for every duplicate, so the scatter is deterministic and exact).
+        (fail_pos,) = jnp.nonzero(~ok, size=cap_p, fill_value=0)
+        fail_pos = fail_pos.astype(jnp.int32)
+        q_fail = jnp.take(query_xyz, fail_pos, axis=2)     # (1, 3, cap)
+        i_f, _d = three_nn_pallas(q_fail, key_xyz, interpret)
+        return idx_s.at[0, fail_pos].set(i_f[0])
 
     def full(_):
         i_f, _d = three_nn_pallas(query_xyz, key_xyz, interpret)
         return i_f
 
-    return lax.cond(jnp.all(ok), slab, full, operand=None)
+    return lax.cond(num_fail <= cap_p, patch, full, operand=None)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -144,7 +144,9 @@ BQ_K_TILE = 2048    # keys per inner step (KT/16 = 128-aligned pack width)
 
 def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
                      m16_scr, wsum_scr, bsum_scr, idx_scr,
-                     *, radius2, k_slots, nb_total, tile_axis=2, base=None):
+                     *, radius2, k_slots, nb_total, tile_axis=2, base=None,
+                     strips_ref=None, rel_ref=None, strips_scr=None,
+                     rel_scr=None):
     """One (centroid tile, key tile) grid step; key tiles iterate fastest.
 
     Every key tile appends its packed mask words / word popcounts / block
@@ -162,6 +164,20 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
     idx_ref (k_slots, C): slot s of centroid c = s-th in-range key in scan
     order (first-hit duplicate fill, ball_query_kernel.cu:64-68);
     cnt_ref (8, C): row 0 = min(total in range, k_slots).
+
+    Optional fused rel-xyz emission (strips_ref/rel_ref/strips_scr/rel_scr
+    all set): strips_ref carries the key tile's coordinates in block-strip
+    layout (16, 384) — row jl = block jl of the tile, lanes [u*128, ...)
+    = coordinate u of its 128 keys — accumulated to strips_scr (NB, 384).
+    During the bisect, the selected key's block row is extracted with ONE
+    exact HIGHEST-precision one-hot matmul (Xblk = strips^T onehot ->
+    (384, C)) and the within-block lane with a sublane mask-reduce; rel =
+    key_xyz - centroid_xyz goes to rel_scr (3*k_slots, C), duplicate-filled
+    like idx_ref into rel_ref (3, k_slots, C).  This replaces the model's
+    (M*K)-row gather + subtract for the grouped-xyz SA input (0.84 ms of
+    row-count-bound XLA gather at deployment scale) with in-VMEM selection.
+    count == 0 lanes emit rel = 0 (the model path guarantees count >= 1:
+    centroids are drawn from the point set).
     """
     kt = BQ_K_TILE
     t = pl.program_id(tile_axis)
@@ -190,6 +206,8 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
         wsum_scr[pl.ds(u * nb_total + t * 16, 16), :] = w_u
         wsum_rows.append(w_u)
     bsum_scr[pl.ds(t * 16, 16), :] = sum(wsum_rows)                # (16, C)
+    if strips_ref is not None:
+        strips_scr[pl.ds(t * 16, 16), :] = strips_ref[...]
 
     # ---- last key tile: rank bisect over the accumulated scratch ----
     @pl.when(t == num_kt - 1)
@@ -265,6 +283,25 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
             if base is not None:
                 glob = glob + base
             idx_scr[pl.ds(s, 1), :] = glob
+
+            if rel_ref is not None:
+                # Selected key's coordinates: one-hot block extraction on
+                # the MXU (exact: products are 1.0 * x under HIGHEST, at
+                # most one nonzero per output) + a sublane mask-reduce for
+                # the within-block lane.
+                xblk = lax.dot_general(
+                    strips_scr[:], onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)       # (384, C)
+                k_local = u_sel * 16 + within              # (1, C), [0, 128)
+                row128 = lax.broadcasted_iota(jnp.int32, (128, c_lanes), 0)
+                sel = (row128 == k_local).astype(jnp.float32)
+                for coord in range(3):
+                    val = jnp.sum(xblk[coord * 128:(coord + 1) * 128] * sel,
+                                  axis=0)[None]            # (1, C)
+                    rel_scr[pl.ds(coord * k_slots + s, 1), :] = \
+                        val - c_ref[coord:coord + 1, :]
             return 0
 
         lax.fori_loop(0, bound, slot_body, 0, unroll=False)
@@ -276,6 +313,12 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
         first = jnp.where(count > 0, idx_scr[0:1, :], 0)           # (1, C)
         idx_ref[...] = jnp.where(slot_io < count, idx_scr[:], first)
         cnt_ref[...] = jnp.broadcast_to(count, (8, c_lanes))
+        if rel_ref is not None:
+            for coord in range(3):
+                strip = rel_scr[coord * k_slots:(coord + 1) * k_slots, :]
+                f_rel = jnp.where(count > 0, strip[0:1, :], 0.0)
+                rel_ref[coord, :, :] = jnp.where(slot_io < count, strip,
+                                                 f_rel)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -359,11 +402,12 @@ def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
 BQ_SLAB_TILES = 4   # key tiles per slab window (4 * BQ_K_TILE = 8192 keys)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def ball_query_fused_slab_pallas(points: Array, centroids: Array,
                                  lo_tile: Array, radius: float,
                                  num_neighbours: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 emit_rel: bool = False):
     """Fused ball query over per-centroid-tile key SLABS (sorted points).
 
     The caller guarantees: each scene's `points` are sorted ascending along
@@ -381,7 +425,10 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     Batch is a leading grid axis — per-scene cost is batch-linear by
     construction (each grid step touches one scene's tiles only).
 
-    Returns (index (B, M, K) i32 into the sorted point order, count (B, M)).
+    Returns (index (B, M, K) i32 into the sorted point order, count (B, M));
+    with emit_rel also rel (B, 3, K, M) f32 = selected key xyz minus
+    centroid xyz (bit-identical to gather-and-subtract; count == 0 lanes
+    emit 0 — see _bq_fused_kernel).
     """
     b, _, n = points.shape
     m = centroids.shape[2]
@@ -417,51 +464,98 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     num_c_tiles = m_pad // BQ_C_TILE
     radius2 = radius * radius
 
-    def kernel(lo_ref, c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        base = lo_ref[i, j] * kt
-        _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref, idx_ref.at[0],
-                         cnt_ref.at[0], *scratch,
-                         radius2=radius2, k_slots=num_neighbours,
-                         nb_total=nb_slab, tile_axis=2, base=base)
+    inputs = [lo_tile.astype(jnp.int32), c, k, pack]
+    in_specs = [
+        pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t, lo: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, kt), lambda i, j, t, lo: (i, 0, lo[i, j] + t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt, 256), lambda i, j, t, lo: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, num_neighbours, BQ_C_TILE),
+                     lambda i, j, t, lo: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t, lo: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, num_neighbours, m_pad), jnp.int32),
+        jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((8 * nb_slab, BQ_C_TILE), jnp.float32),
+        pltpu.VMEM((8 * nb_slab, BQ_C_TILE), jnp.float32),
+        pltpu.VMEM((nb_slab, BQ_C_TILE), jnp.float32),
+        pltpu.VMEM((num_neighbours, BQ_C_TILE), jnp.int32),
+    ]
+    if emit_rel:
+        # Key coordinates in block-strip layout: row jb, lanes
+        # [coord*128 + l] = coordinate `coord` of key jb*128 + l.
+        nb_all = n_pad // 128
+        strips = (k[:, :3].reshape(b, 3, nb_all, 128)
+                  .transpose(0, 2, 1, 3).reshape(b, nb_all, 384))
+        inputs.append(strips)
+        in_specs.append(
+            pl.BlockSpec((1, kt // 128, 384),
+                         lambda i, j, t, lo: (i, lo[i, j] + t, 0),
+                         memory_space=pltpu.VMEM))
+        out_specs.append(
+            pl.BlockSpec((1, 3, num_neighbours, BQ_C_TILE),
+                         lambda i, j, t, lo: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, 3, num_neighbours, m_pad), jnp.float32))
+        scratch_shapes += [
+            pltpu.VMEM((nb_slab, 384), jnp.float32),
+            pltpu.VMEM((3 * num_neighbours, BQ_C_TILE), jnp.float32),
+        ]
+
+        def kernel(lo_ref, c_ref, k_ref, pack_ref, strips_ref,
+                   idx_ref, cnt_ref, rel_ref,
+                   m16_scr, wsum_scr, bsum_scr, idx_scr,
+                   strips_scr, rel_scr):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            base = lo_ref[i, j] * kt
+            _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref,
+                             idx_ref.at[0], cnt_ref.at[0],
+                             m16_scr, wsum_scr, bsum_scr, idx_scr,
+                             radius2=radius2, k_slots=num_neighbours,
+                             nb_total=nb_slab, tile_axis=2, base=base,
+                             strips_ref=strips_ref.at[0], rel_ref=rel_ref.at[0],
+                             strips_scr=strips_scr, rel_scr=rel_scr)
+    else:
+        def kernel(lo_ref, c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
+                   *scratch):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            base = lo_ref[i, j] * kt
+            _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref,
+                             idx_ref.at[0], cnt_ref.at[0], *scratch,
+                             radius2=radius2, k_slots=num_neighbours,
+                             nb_total=nb_slab, tile_axis=2, base=base)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, num_c_tiles, BQ_SLAB_TILES),
-        in_specs=[
-            pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t, lo: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, kt), lambda i, j, t, lo: (i, 0, lo[i, j] + t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 256), lambda i, j, t, lo: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, num_neighbours, BQ_C_TILE),
-                         lambda i, j, t, lo: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, BQ_C_TILE), lambda i, j, t, lo: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8 * nb_slab, BQ_C_TILE), jnp.float32),
-            pltpu.VMEM((8 * nb_slab, BQ_C_TILE), jnp.float32),
-            pltpu.VMEM((nb_slab, BQ_C_TILE), jnp.float32),
-            pltpu.VMEM((num_neighbours, BQ_C_TILE), jnp.int32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
-    idx_t, cnt = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, num_neighbours, m_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, 8, m_pad), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(lo_tile.astype(jnp.int32), c, k, pack)
+    )(*inputs)
+    idx_t, cnt = out[0], out[1]
     index = jnp.swapaxes(idx_t, 1, 2)[:, :m]
     count = cnt[:, 0, :m].astype(jnp.int32)
+    if emit_rel:
+        rel = out[2][:, :, :, :m]                  # (B, 3, K, M)
+        return index, count, rel
     return index, count
 
 

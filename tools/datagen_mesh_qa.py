@@ -59,6 +59,24 @@ def main():
                         mesh_files=[CAMERA_OBJ]) for i in range(2)]
     meshes = {f"cam{i}": (verts.astype(np.float64), tris) for i in range(2)}
 
+    # Both instances share one mesh: grade ONCE and seed the per-name cache
+    # (generate_end_to_end skips existing pickles) — the 13k-point Darboux
+    # grading is ~15 min on this 1-CPU host and need not run twice.
+    import time
+    obj_dir = os.path.join(args.out, "single_object_data")
+    os.makedirs(obj_dir, exist_ok=True)
+    if not all(os.path.exists(os.path.join(obj_dir, f"cam{i}.p"))
+               for i in range(2)):
+        from s4g_tpu.datagen.generate import grade_object
+        tic = time.time()
+        data = grade_object(verts.astype(np.float64), tris,
+                            rng=np.random.RandomState(0))
+        print(f"[grade] {len(data['cloud'])} pts, "
+              f"{time.time() - tic:.0f}s", flush=True)
+        for i in range(2):
+            with open(os.path.join(obj_dir, f"cam{i}.p"), "wb") as f:
+                pickle.dump(data, f)
+
     merged = generate_end_to_end(meshes, specs, args.out, scene_id=0,
                                  num_views=args.views, percentage=1.1,
                                  seed=0, label_capacity=16384,
