@@ -124,10 +124,13 @@ class PointNet2Backbone(nn.Module):
                                sparse_feature, train=train, **fp_kwargs)
             sparse_xyz = dense_xyz
         if order is not None:
-            # Restore the caller's point order (one wide row gather).
+            # Restore the caller's point order (one wide row gather; the
+            # inverse permutation is a unique-index scatter, not a second
+            # argsort).
             from .pn2_modules import gather_cl
-            inv = jnp.argsort(order, axis=1).astype(jnp.int32)
-            sparse_feature = gather_cl(sparse_feature, inv)
+            from ..ops.neighbors import invert_permutation
+            sparse_feature = gather_cl(sparse_feature,
+                                       invert_permutation(order))
         return sparse_feature  # (B, N, C)
 
 

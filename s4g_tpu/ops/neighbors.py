@@ -41,6 +41,20 @@ _ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
 _ENV_3NN_SLAB = os.environ.get("S4G_3NN_SLAB") == "1"
 
 
+def invert_permutation(perm: Array) -> Array:
+    """(B, N) permutation per row -> its inverse, via a flat unique-index
+    scatter: one store per row (~gather cost) instead of a second argsort
+    (bitonic sort passes are several times pricier at deployment sizes)."""
+    b, n = perm.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    off = (jnp.arange(b, dtype=perm.dtype) * n)[:, None]
+    flat = jnp.zeros((b * n,), jnp.int32).at[
+        (perm + off).reshape(-1)].set(iota.reshape(-1),
+                                      mode="promise_in_bounds",
+                                      unique_indices=True)
+    return flat.reshape(b, n)
+
+
 def flat_gather_rows(x: Array, index: Array) -> Array:
     """Batched row gather (B, M, W) x (B, M2) -> (B, M2, W) as ONE flat
     single-table gather with batch-offset indices.  XLA's *batched* gather
@@ -328,7 +342,7 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
 
     # Back to the caller's centroid order (flat row gathers: the batched
     # take_along_axis forms lower super-linearly in B).
-    inv = jnp.argsort(corder, axis=1).astype(jnp.int32)
+    inv = invert_permutation(corder)
     idx = flat_gather_rows(idx_s, inv)
     count = flat_gather_rows(cnt_s[..., None], inv)[..., 0]
     if emit_rel:

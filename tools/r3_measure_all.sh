@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-3 TPU measurement runbook: every number the round needs, collected
+# SEQUENTIALLY (one process per variant, nothing else on the chip — the
+# measurement discipline in BASELINE.md).  Run solo:
+#
+#   bash tools/r3_measure_all.sh [outdir]
+#
+# Each step is individually timed out; a hung tunnel fails the step, not
+# the run.  Results land in $OUT/*.log plus a combined summary.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/r3_measure}
+mkdir -p "$OUT"
+
+step() {  # step <name> <timeout-s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name: $* ===" | tee -a "$OUT/summary.log"
+    timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+    local rc=$?
+    tail -3 "$OUT/$name.log" | tee -a "$OUT/summary.log"
+    echo "--- $name exit=$rc" | tee -a "$OUT/summary.log"
+}
+
+step bench          900 python bench.py
+step trace_fwd      900 python tools/trace_forward.py
+step trace_detect   900 python tools/trace_forward.py --detect
+step batch1         900 python tools/measure_batch.py 1
+step batch2         900 python tools/measure_batch.py 2
+step batch4         900 python tools/measure_batch.py 4
+step diag_3nn       900 env S4G_3NN_SLAB=1 python tools/diag_3nn_slab.py
+step parity_compare 1200 python tools/parity_at_speed.py compare
+step parity_time    900 python tools/parity_at_speed.py time-parity
+step trace_b2       900 python tools/trace_forward.py --batch 2
+echo "ALL DONE -> $OUT" | tee -a "$OUT/summary.log"
