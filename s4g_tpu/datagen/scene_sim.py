@@ -99,10 +99,12 @@ def build_arena_xml(objects: List[ObjectSpec], poses: List, quats: List,
     # cone="elliptic": the reference's high-friction contacts (mu = 10,
     # table_arena.py:80) are unstable with mujoco 3.x's default pyramidal
     # cone at drop-impact speeds; elliptic keeps them well-posed.
+    asset_xml = f"<asset>{''.join(assets)}</asset>" if assets else ""
     return f"""
 <mujoco model="s4g_table_arena">
   <compiler angle="radian"{meshdir_attr}/>
   <option gravity="0 0 -9.8" timestep="{timestep}" cone="elliptic"/>
+  {asset_xml}
   <worldbody>
     <geom name="floor" type="plane" size="3 3 0.1" pos="0 0 0"/>
     <body name="table" pos="0 0 {TABLE_FULL_SIZE[2]}">

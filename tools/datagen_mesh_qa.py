@@ -88,6 +88,8 @@ def main():
         with open(path, "rb") as f:
             d = pickle.load(f)
         cloud = np.asarray(d["point_cloud"])
+        if cloud.shape[0] == 3 and cloud.shape[-1] != 3:
+            cloud = cloud.T
         search = np.asarray(d["search_score"])     # (C, L, T)
         anti = np.asarray(d.get("antipodal_score", np.zeros(0)))
         stats.append({

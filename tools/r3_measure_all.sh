@@ -28,6 +28,14 @@ step batch1         900 python tools/measure_batch.py 1
 step batch2         900 python tools/measure_batch.py 2
 step batch4         900 python tools/measure_batch.py 4
 step diag_3nn       900 env S4G_3NN_SLAB=1 python tools/diag_3nn_slab.py
+# A/B variants (env flags are read at module import — one process each):
+# slab 3-NN now patches per-query instead of whole-call falling back, and
+# the fused MLP-chain kernel faces a different fusion landscape now that
+# stage-1 grouped xyz comes out of the ball-query kernel, not an XLA
+# gather the MLP chain used to fuse with.
+step bench_3nnslab  900 env S4G_3NN_SLAB=1 python bench.py
+step bench_mlpfuse  900 env S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
+step bench_both     900 env S4G_3NN_SLAB=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 step parity_compare 1200 python tools/parity_at_speed.py compare
 step parity_time    900 python tools/parity_at_speed.py time-parity
 step trace_b2       900 python tools/trace_forward.py --batch 2
