@@ -237,3 +237,22 @@ class TestBallQuerySortedPruned:
                                     slab_capacity=4096)
         np.testing.assert_array_equal(np.asarray(pr_i), np.asarray(full_i))
         np.testing.assert_array_equal(np.asarray(pr_c), np.asarray(full_c))
+
+    def test_grouped_rel_matches_gather(self, rng):
+        """ball_query_grouped: rel must equal gather-and-subtract of its
+        own indices on BOTH routes (sorted-pruned and plain), batched."""
+        b, n, m, k = 2, 8192, 256, 16
+        raw = rng.rand(b, 3, n).astype(np.float32) * 0.6
+        order = np.argsort(raw[:, 2, :], axis=1)
+        pts = np.take_along_axis(raw, order[:, None, :], axis=2)
+        cidx = np.stack([rng.choice(n, m, replace=False) for _ in range(b)])
+        cents = np.take_along_axis(pts, cidx[:, None, :], axis=2)
+        for kwargs in ({"sorted_axis": jnp.int32(2), "slab_capacity": 4096},
+                       {}):
+            idx, cnt, rel = ops.ball_query_grouped(
+                jnp.asarray(pts), jnp.asarray(cents), 0.03, k, **kwargs)
+            idx, cnt, rel = map(np.asarray, (idx, cnt, rel))
+            want = np.stack([
+                pts[i].T[idx[i]] - cents[i].T[:, None, :] for i in range(b)])
+            want = np.where(cnt[..., None, None] > 0, want, 0.0)
+            np.testing.assert_array_equal(rel, want.astype(np.float32))
