@@ -133,10 +133,17 @@ class PointNetSAModule(nn.Module):
                 centroid_feature = (gather_cl(feature, index)
                                     if feature is not None else None)
 
+            # Whenever the sortedness invariant is active, the centroids
+            # are themselves sorted along sorted_axis (sharded FPS emits
+            # ascending indices; the exact-FPS path re-sorts above; the
+            # all-points case inherits the input order) — promise it so
+            # the pruned ball query skips its argsort + permute round-trip.
+            csorted = sorted_axis is not None
             if feature is not None:
                 nbr_index, _ = ops.ball_query(
                     _cf(xyz), _cf(new_xyz), self.radius,
-                    self.num_neighbours, sorted_axis=sorted_axis)
+                    self.num_neighbours, sorted_axis=sorted_axis,
+                    centroids_sorted=csorted)
                 # ONE combined [xyz || feature] gather: a second width-3
                 # gather costs as much as the wide one (XLA row gathers are
                 # row-count bound, ~3 ns/row on v5e), so fold xyz into the
@@ -160,7 +167,8 @@ class PointNetSAModule(nn.Module):
                 # gather in the model graph.
                 _, _, group_xyz = ops.ball_query_grouped(
                     _cf(xyz), _cf(new_xyz), self.radius,
-                    self.num_neighbours, sorted_axis=sorted_axis)
+                    self.num_neighbours, sorted_axis=sorted_axis,
+                    centroids_sorted=csorted)
                 group_feature = group_xyz.astype(xyz.dtype)
 
         mlp = SharedMLP(self.mlp_channels, dtype=self.dtype, name="mlp")

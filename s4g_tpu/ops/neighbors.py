@@ -178,7 +178,8 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
 def _ball_query_sorted_pruned(points: Array, centroids: Array,
                               radius2: float, num_neighbours: int,
                               chunk: int, sorted_axis: Array,
-                              slab_capacity: int, emit_rel: bool = False):
+                              slab_capacity: int, emit_rel: bool = False,
+                              centroids_sorted: bool = False):
     """Slab-pruned ball query for scenes whose points are sorted ascending
     along coordinate `sorted_axis` (traced scalar, shared by the batch).
 
@@ -207,11 +208,21 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                                      keepdims=False)       # (B, N) ascending
     ckeys = lax.dynamic_index_in_dim(centroids, sorted_axis, axis=1,
                                      keepdims=False)       # (B, M)
-    corder = jnp.argsort(ckeys, axis=1).astype(jnp.int32)  # (B, M)
-    cent_s = jnp.swapaxes(
-        flat_gather_rows(jnp.swapaxes(centroids, 1, 2), corder), 1, 2)
-    ckeys_s = lax.dynamic_index_in_dim(cent_s, sorted_axis, axis=1,
-                                       keepdims=False)     # (B, M)
+    if centroids_sorted:
+        # Caller PROMISES the centroids are already ascending along
+        # sorted_axis (true on every deployment path: sharded FPS emits
+        # ascending indices into the sorted cloud, and the exact-FPS path
+        # re-sorts its centroids in the SA module) — skip the argsort and
+        # the permute/unpermute round-trip entirely.
+        corder = None
+        cent_s = centroids
+        ckeys_s = ckeys
+    else:
+        corder = jnp.argsort(ckeys, axis=1).astype(jnp.int32)  # (B, M)
+        cent_s = jnp.swapaxes(
+            flat_gather_rows(jnp.swapaxes(centroids, 1, 2), corder), 1, 2)
+        ckeys_s = lax.dynamic_index_in_dim(cent_s, sorted_axis, axis=1,
+                                           keepdims=False)     # (B, M)
 
     use_kernel = (jax.default_backend() == "tpu"
                   and _ENV_BQ_SLAB_IMPL != "xla")
@@ -340,6 +351,12 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     idx_s = idx_s[:, :m]
     cnt_s = cnt_s[:, :m]
 
+    if centroids_sorted:
+        if emit_rel:
+            return idx_s, cnt_s, jnp.transpose(rel_s[:, :, :, :m],
+                                               (0, 3, 2, 1))
+        return idx_s, cnt_s
+
     # Back to the caller's centroid order (flat row gathers: the batched
     # take_along_axis forms lower super-linearly in B).
     inv = invert_permutation(corder)
@@ -354,11 +371,11 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     return idx, count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
 def ball_query(points: Array, centroids: Array, radius: float,
                num_neighbours: int, chunk: int = 512, impl: str = "auto",
                sorted_axis: Optional[Array] = None,
-               slab_capacity: int = 6144):
+               slab_capacity: int = 6144, centroids_sorted: bool = False):
     """Ball query with reference-CUDA semantics.
 
     Default path: a chunked difference-form XLA distance pass feeding a
@@ -383,6 +400,9 @@ def ball_query(points: Array, centroids: Array, radius: float,
             faster at deployment scale.
         slab_capacity: static slab size for the pruned path (falls back to
             the full scan when a chunk's slab exceeds it).
+        centroids_sorted: static promise that `centroids` are ALSO already
+            ascending along sorted_axis (skips the pruned path's argsort +
+            permute round-trip).
 
     Returns:
         index: (B, M, K) int32, count: (B, M) int32.
@@ -396,7 +416,8 @@ def ball_query(points: Array, centroids: Array, radius: float,
         return _ball_query_sorted_pruned(points, centroids, radius2,
                                          num_neighbours, chunk,
                                          jnp.asarray(sorted_axis, jnp.int32),
-                                         slab_capacity)
+                                         slab_capacity,
+                                         centroids_sorted=centroids_sorted)
 
     if impl == "auto":
         override = _ENV_BQ_IMPL
@@ -455,11 +476,12 @@ def ball_query(points: Array, centroids: Array, radius: float,
     return idx, count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7))
 def ball_query_grouped(points: Array, centroids: Array, radius: float,
                        num_neighbours: int, chunk: int = 512,
                        sorted_axis: Optional[Array] = None,
-                       slab_capacity: int = 6144):
+                       slab_capacity: int = 6144,
+                       centroids_sorted: bool = False):
     """Ball query that ALSO returns the grouped relative coordinates
     rel = points[index] - centroid, (B, M, K, 3) f32 — the SA-stage
     grouped-xyz input (reference grouping_kernel.cu:32-53 + modules.py:44).
@@ -478,7 +500,8 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
         return _ball_query_sorted_pruned(points, centroids, radius * radius,
                                          num_neighbours, chunk,
                                          jnp.asarray(sorted_axis, jnp.int32),
-                                         slab_capacity, emit_rel=True)
+                                         slab_capacity, emit_rel=True,
+                                         centroids_sorted=centroids_sorted)
     idx, count = ball_query(points, centroids, radius, num_neighbours,
                             chunk=chunk, sorted_axis=sorted_axis,
                             slab_capacity=slab_capacity)

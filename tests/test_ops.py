@@ -238,6 +238,26 @@ class TestBallQuerySortedPruned:
         np.testing.assert_array_equal(np.asarray(pr_i), np.asarray(full_i))
         np.testing.assert_array_equal(np.asarray(pr_c), np.asarray(full_c))
 
+    def test_centroids_sorted_promise(self, rng):
+        """centroids_sorted=True on pre-sorted centroids must equal the
+        unpromised call (which sorts internally) exactly, incl. rel."""
+        b, n, m, k = 2, 8192, 256, 16
+        raw = rng.rand(b, 3, n).astype(np.float32) * 0.6
+        pts = np.take_along_axis(raw, np.argsort(raw[:, 0], axis=1)[:, None],
+                                 axis=2)
+        cidx = np.sort(np.stack([rng.choice(n, m, replace=False)
+                                 for _ in range(b)]), axis=1)
+        cents = np.take_along_axis(pts, cidx[:, None, :], axis=2)
+        a = ops.ball_query_grouped(jnp.asarray(pts), jnp.asarray(cents),
+                                   0.03, k, sorted_axis=jnp.int32(0),
+                                   slab_capacity=4096)
+        bq = ops.ball_query_grouped(jnp.asarray(pts), jnp.asarray(cents),
+                                    0.03, k, sorted_axis=jnp.int32(0),
+                                    slab_capacity=4096,
+                                    centroids_sorted=True)
+        for x, y in zip(a, bq):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_grouped_rel_matches_gather(self, rng):
         """ball_query_grouped: rel must equal gather-and-subtract of its
         own indices on BOTH routes (sorted-pruned and plain), batched."""
