@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--num-points", type=int, default=25600)
     parser.add_argument("--skip-datagen", action="store_true")
+    parser.add_argument("--datagen-only", action="store_true",
+                        help="generate the scenes and exit (CPU-only; lets "
+                             "the TPU window skip straight to training with "
+                             "--skip-datagen)")
     args = parser.parse_args()
 
     from s4g_tpu.configs.config import load_cfg_from_dict
@@ -82,6 +86,10 @@ def main():
                   flush=True)
         print(f"[datagen] {total} views in {time.time() - tic:.0f}s",
               flush=True)
+    if args.datagen_only:
+        print("[datagen] done (--datagen-only), exiting before training",
+              flush=True)
+        return
 
     ds = SceneGraspDataset(data_dir, num_points=args.num_points,
                            score_classes=3, batch_size=args.batch,
