@@ -49,7 +49,16 @@ class GraspDetector:
                  cloud_capacity: int = 65536, num_candidates: int = 1024,
                  seed: int = 0, variables=None,
                  enable_voxel_downsample: bool = True,
-                 enable_outlier_removal: bool = True):
+                 enable_outlier_removal: bool = True,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh (see parallel.mesh.make_mesh).
+        When given, detect_batch shards the scene batch over the mesh's
+        "data" axis via shard_map — each device runs the complete fused
+        program (preprocess + forward + postproc + collision) on its local
+        scenes with no cross-device communication, the throughput-scaling
+        analog of the reference's nn.DataParallel serving
+        (grasp_detector.py:62-63).  Batch size must divide the mesh size.
+        detect() (batch 1) is unaffected."""
         if model in _SUPPORTED_MODELS:
             cfg_path = os.path.join(_CONFIG_DIR, f"{model}.yaml")
         elif os.path.exists(model):
@@ -77,6 +86,7 @@ class GraspDetector:
         self._enable_outlier = enable_outlier_removal
         self._key = jax.random.key(seed)
         self._np_rng = np.random.RandomState(seed)
+        self._mesh = mesh
 
         if variables is not None:
             self.variables = variables
@@ -217,7 +227,38 @@ class GraspDetector:
         # would make every invocation a fresh traced callable (retrace +
         # recompile). `variables` is an explicit argument, never a closure.
         detect_fn = jax.jit(detect_impl, static_argnums=(6, 7))
-        detect_batch_fn = jax.jit(detect_batch_impl, static_argnums=(6, 7))
+
+        mesh = self._mesh
+        if mesh is None:
+            detect_batch_fn = jax.jit(detect_batch_impl, static_argnums=(6, 7))
+        else:
+            # Data-parallel serving: shard the scene batch over the mesh and
+            # run the COMPLETE per-shard program (incl. Pallas kernels) on
+            # each device via shard_map — scenes are independent, so there
+            # is no collective in the program at all.  shard_map (rather
+            # than sharded-jit annotations) guarantees the custom kernels
+            # see their local batch block instead of relying on SPMD
+            # partitioning rules for custom calls.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+
+            def detect_batch_sharded(variables, clouds, cloud_valids, keys,
+                                     score_threshold, vertical_threshold,
+                                     num_selected: int, collision_check: bool):
+                def body(v, c, cv, k, st, vt):
+                    return detect_batch_impl(v, c, cv, k, st, vt,
+                                             num_selected, collision_check)
+                return shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                              P(), P()),
+                    out_specs=P(DATA_AXIS), check_vma=False,
+                )(variables, clouds, cloud_valids, keys,
+                  score_threshold, vertical_threshold)
+
+            detect_batch_fn = jax.jit(detect_batch_sharded,
+                                      static_argnums=(6, 7))
         return detect_fn, detect_batch_fn
 
     # -- public API -----------------------------------------------------------
@@ -270,6 +311,10 @@ class GraspDetector:
         """
         clouds = np.asarray(clouds, np.float32)
         assert clouds.ndim == 3 and clouds.shape[2] == 3
+        if self._mesh is not None:
+            assert clouds.shape[0] % self._mesh.size == 0, (
+                f"batch {clouds.shape[0]} must divide the mesh size "
+                f"{self._mesh.size}")
         padded, valids = zip(*(self._pad_cloud(c) for c in clouds))
         padded = jnp.stack(padded)
         valids = jnp.stack(valids)

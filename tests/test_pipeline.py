@@ -398,3 +398,60 @@ def test_detector_batched_sorted_deployment_path(tmp_path, rng):
                              verticalness_threshold=-1.0)
     np.testing.assert_allclose(solo[0][0], results[0][0], atol=1e-5)
     np.testing.assert_allclose(solo[0][1], results[0][1], atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+@pytest.mark.slow
+def test_detect_batch_sharded_over_mesh_matches_single(tmp_path, rng):
+    """Mesh-sharded batch serving (shard_map over the 8-device CPU mesh)
+    must produce exactly the single-device batched program's results —
+    scenes are independent, so sharding the batch axis is a pure layout
+    change (the throughput analog of nn.DataParallel,
+    grasp_detector.py:62-63)."""
+    import yaml
+    cfg = {
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": 256,
+            "NUM_CENTROIDS": "(64, 16)",
+            "RADIUS": "(0.02, 0.08)",
+            "NUM_NEIGHBOURS": "(16, 16)",
+            "SA_CHANNELS": "((16, 16), (16, 32))",
+            "FP_CHANNELS": "((16, 16), (16, 16))",
+            "NUM_FP_NEIGHBOURS": "(3, 3)",
+            "SEG_CHANNELS": "(16,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = tmp_path / "tiny.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    from s4g_tpu.parallel.mesh import make_mesh
+    from s4g_tpu.pipeline.detector import GraspDetector
+
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)
+    sel = np.random.RandomState(1).choice(len(cloud), (8, 1024), replace=True)
+    clouds = cloud[sel]                               # (8, 1024, 3)
+
+    det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=2048, num_candidates=32, seed=5)
+    base = det.detect_batch(clouds, num_selected=3, score_threshold=0.0,
+                            verticalness_threshold=-1.0)
+
+    mesh = make_mesh(jax.devices()[:8])
+    det_sh = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                           cloud_capacity=2048, num_candidates=32, seed=5,
+                           variables=det.variables, mesh=mesh)
+    shard = det_sh.detect_batch(clouds, num_selected=3, score_threshold=0.0,
+                                verticalness_threshold=-1.0)
+
+    assert len(base) == len(shard) == 8
+    for (p0, s0), (p1, s1) in zip(base, shard):
+        np.testing.assert_allclose(p1, p0, atol=1e-5)
+        np.testing.assert_allclose(s1, s0, atol=1e-5)
+
+    # Uneven batch must be rejected up front.
+    with pytest.raises(AssertionError):
+        det_sh.detect_batch(clouds[:3], num_selected=3, score_threshold=0.0,
+                            verticalness_threshold=-1.0)
