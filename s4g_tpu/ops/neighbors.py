@@ -39,6 +39,11 @@ _ENV_BQ_SLAB_IMPL = os.environ.get("S4G_BQ_SLAB_IMPL", "pallas")
 _ENV_BQ_IMPL = os.environ.get("S4G_BQ_IMPL")
 _ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
 _ENV_3NN_SLAB = os.environ.get("S4G_3NN_SLAB") == "1"
+# A/B gate for the in-kernel grouped rel-xyz emission (default ON): with
+# S4G_EMIT_REL=0, ball_query_grouped still uses the slab kernel for the
+# neighbour indices but computes rel via the model-side flat gather,
+# isolating the emission's contribution in solo benchmarks.
+_ENV_EMIT_REL = os.environ.get("S4G_EMIT_REL", "1") != "0"
 
 
 def invert_permutation(perm: Array) -> Array:
@@ -496,7 +501,7 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
     """
     b, _, m = centroids.shape
     n = points.shape[2]
-    if sorted_axis is not None and n > slab_capacity:
+    if sorted_axis is not None and n > slab_capacity and _ENV_EMIT_REL:
         return _ball_query_sorted_pruned(points, centroids, radius * radius,
                                          num_neighbours, chunk,
                                          jnp.asarray(sorted_axis, jnp.int32),
@@ -504,7 +509,8 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
                                          centroids_sorted=centroids_sorted)
     idx, count = ball_query(points, centroids, radius, num_neighbours,
                             chunk=chunk, sorted_axis=sorted_axis,
-                            slab_capacity=slab_capacity)
+                            slab_capacity=slab_capacity,
+                            centroids_sorted=centroids_sorted)
     g = flat_gather_rows(jnp.swapaxes(points, 1, 2).astype(jnp.float32),
                          idx.reshape(b, m * num_neighbours))
     rel = (g.reshape(b, m, num_neighbours, 3)

@@ -27,6 +27,8 @@ step trace_detect   900 python tools/trace_forward.py --detect
 step batch1         900 python tools/measure_batch.py 1
 step batch2         900 python tools/measure_batch.py 2
 step batch4         900 python tools/measure_batch.py 4
+step batch8         900 python tools/measure_batch.py 8
+step bench_noemit   900 env S4G_EMIT_REL=0 python bench.py
 step diag_3nn       900 env S4G_3NN_SLAB=1 python tools/diag_3nn_slab.py
 # A/B variants (env flags are read at module import — one process each):
 # slab 3-NN now patches per-query instead of whole-call falling back, and
