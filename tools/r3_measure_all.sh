@@ -22,7 +22,7 @@ step() {  # step <name> <timeout-s> <cmd...>
 }
 
 step bench          900 python bench.py
-step trace_fwd      900 python tools/trace_forward.py
+step trace_fwd      900 python tools/trace_forward.py --json "$OUT/trace_fwd.json"
 step trace_detect   900 python tools/trace_forward.py --detect
 step batch1         900 python tools/measure_batch.py 1
 step batch2         900 python tools/measure_batch.py 2
@@ -40,5 +40,6 @@ step bench_mlpfuse  900 env S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 step bench_both     900 env S4G_3NN_SLAB=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 step parity_compare 1200 python tools/parity_at_speed.py compare
 step parity_time    900 python tools/parity_at_speed.py time-parity
-step trace_b2       900 python tools/trace_forward.py --batch 2
+step trace_b2       900 python tools/trace_forward.py --batch 2 --json "$OUT/trace_b2.json"
+step trace_diff_b2  60  python tools/trace_diff.py "$OUT/trace_fwd.json" "$OUT/trace_b2.json"
 echo "ALL DONE -> $OUT" | tee -a "$OUT/summary.log"

@@ -29,7 +29,7 @@ def capture(fn, args, trace_dir):
     return out
 
 
-def parse_trace(trace_dir, top, reps=8):
+def parse_trace(trace_dir, top, reps=8, json_out=None, batch=1):
     """Aggregate per-op device time from the Chrome trace JSON the profiler
     writes alongside the xplane (the 'XLA Ops' thread of the TPU process).
     `while` wrappers double-count their body ops, so they are listed but
@@ -58,6 +58,13 @@ def parse_trace(trace_dir, top, reps=8):
           f"(leaves, {reps} reps) ===")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ms / reps:9.3f} ms  x{counts[name] // reps:<4d} {name[:90]}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"batch": batch, "reps": reps,
+                       "leaf_ms_per_exec": leaf / reps,
+                       "ms_per_exec": {n: ms / reps
+                                       for n, ms in totals.items()}}, f)
+        print(f"[json] per-op table -> {json_out}")
 
 
 def main():
@@ -67,6 +74,9 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--trace-dir", default="/tmp/s4g_trace")
+    p.add_argument("--json", default=None,
+                   help="also dump the per-op ms table as JSON (for "
+                        "tools/trace_diff.py)")
     args = p.parse_args()
 
     import jax
@@ -113,7 +123,8 @@ def main():
                                           train=False))
         capture(fwd, (pts,), args.trace_dir)
 
-    parse_trace(args.trace_dir, args.top)
+    parse_trace(args.trace_dir, args.top, json_out=args.json,
+                batch=args.batch)
 
 
 if __name__ == "__main__":
