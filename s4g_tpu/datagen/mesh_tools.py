@@ -125,6 +125,65 @@ def scale_variants(vertices: np.ndarray, scales=(1.0, 0.85, 0.7)
     return {k: vertices * s for k, s in enumerate(scales)}
 
 
+def make_icosphere(radius: float = 0.035, subdiv: int = 2) -> Mesh:
+    """Watertight subdivided icosahedron — uniformly curved surface.
+
+    Procedural stand-in for mesh assets (the reference assumes 118 YCB
+    meshes on disk, data_gen/configs/dataset_config.py:3-56; these
+    generators let the datagen pipeline run without any asset download).
+    """
+    t = (1 + 5 ** 0.5) / 2
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+    for _ in range(subdiv):
+        vlist, mid, nf = list(v), {}, []
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                vlist.append((vlist[a] + vlist[b]) / 2.0)
+                mid[key] = len(vlist) - 1
+            return mid[key]
+
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v, f = np.array(vlist), np.array(nf)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
+    return v, f
+
+
+def make_box(dx: float = 0.06, dy: float = 0.04, dz: float = 0.08) -> Mesh:
+    """Watertight axis-aligned box — flat faces and sharp edges."""
+    x, y, z = dx / 2, dy / 2, dz / 2
+    v = np.array([[sx, sy, sz] for sx in (-x, x) for sy in (-y, y)
+                  for sz in (-z, z)], float)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    return v, f
+
+
+def make_cylinder(r: float = 0.025, h: float = 0.09, n: int = 24) -> Mesh:
+    """Watertight capped cylinder — mixed flat/curved surface."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring = np.stack([r * np.cos(ang), r * np.sin(ang)], 1)
+    bot = np.concatenate([ring, np.full((n, 1), -h / 2)], 1)
+    top = np.concatenate([ring, np.full((n, 1), h / 2)], 1)
+    v = np.concatenate([bot, top, [[0, 0, -h / 2]], [[0, 0, h / 2]]])
+    f = []
+    for i in range(n):
+        j = (i + 1) % n
+        f += [[i, j, n + i], [j, n + j, n + i],          # side quads
+              [2 * n, j, i], [2 * n + 1, n + i, n + j]]  # caps
+    return v, np.array(f)
+
+
 def vhacd_decompose(input_path: str, output_dir: str,
                     binary: str = "vhacd") -> list:
     """Convex decomposition via the V-HACD CLI (reference

@@ -47,6 +47,24 @@ class TestMeshTools:
         assert set(variants) == {0, 1, 2}
         np.testing.assert_allclose(variants[1], verts * 0.85)
 
+    @pytest.mark.parametrize("maker", ["make_icosphere", "make_box",
+                                       "make_cylinder"])
+    def test_procedural_meshes_watertight(self, maker):
+        from s4g_tpu.datagen import mesh_tools
+        v, f = getattr(mesh_tools, maker)()
+        # every directed edge appears exactly once, with its reverse present
+        edges = {}
+        for a, b, c in f:
+            for e in ((a, b), (b, c), (c, a)):
+                edges[e] = edges.get(e, 0) + 1
+        assert all(n == 1 for n in edges.values())
+        assert all((e[1], e[0]) in edges for e in edges)
+        # consistent outward winding: positive signed volume
+        vol = np.einsum("ij,ij->", v[f[:, 0]],
+                        np.cross(v[f[:, 1]], v[f[:, 2]])) / 6
+        assert vol > 0
+        assert np.all(np.ptp(v, axis=0) < 0.15)  # graspable scale, metres
+
     def test_scene_ply(self, tmp_path):
         meshes = {"boxA": _box_mesh(0.02)}
         poses = {"boxA": np.array([0.0, 0.0, 0.78, 1, 0, 0, 0])}

@@ -35,60 +35,6 @@ import numpy as np  # noqa: E402
 CAMERA_OBJ = "/root/reference/objects/mesh/camera.obj"
 
 
-def _icosphere(radius=0.035, subdiv=2):
-    """Watertight subdivided icosahedron — uniformly curved surface."""
-    t = (1 + 5 ** 0.5) / 2
-    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
-                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
-                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
-    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
-                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
-                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
-                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
-    for _ in range(subdiv):
-        vlist, mid, nf = list(v), {}, []
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in mid:
-                vlist.append((vlist[a] + vlist[b]) / 2.0)
-                mid[key] = len(vlist) - 1
-            return mid[key]
-
-        for a, b, c in f:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
-        v, f = np.array(vlist), np.array(nf)
-    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius
-    return v, f
-
-
-def _box(dx=0.06, dy=0.04, dz=0.08):
-    """Watertight axis-aligned box — flat faces and sharp edges."""
-    x, y, z = dx / 2, dy / 2, dz / 2
-    v = np.array([[sx, sy, sz] for sx in (-x, x) for sy in (-y, y)
-                  for sz in (-z, z)], float)
-    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
-                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
-                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
-    return v, f
-
-
-def _cylinder(r=0.025, h=0.09, n=24):
-    """Watertight capped cylinder — mixed flat/curved surface."""
-    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    ring = np.stack([r * np.cos(ang), r * np.sin(ang)], 1)
-    bot = np.concatenate([ring, np.full((n, 1), -h / 2)], 1)
-    top = np.concatenate([ring, np.full((n, 1), h / 2)], 1)
-    v = np.concatenate([bot, top, [[0, 0, -h / 2]], [[0, 0, h / 2]]])
-    f = []
-    for i in range(n):
-        j = (i + 1) % n
-        f += [[i, j, n + i], [j, n + j, n + i],        # side quads
-              [2 * n, j, i], [2 * n + 1, n + i, n + j]]  # caps
-    return v, np.array(f)
-
-
 def _scene_assets(args, out_dir):
     """Build (meshes, specs, shared-grade groups) for the requested mode.
 
@@ -117,7 +63,10 @@ def _scene_assets(args, out_dir):
                   for i in range(2)}
         return meshes, specs, {"cam0": ["cam0", "cam1"]}
 
-    gen = {"ico": _icosphere(), "boxm": _box(), "cyl": _cylinder()}
+    from s4g_tpu.datagen.mesh_tools import (make_box, make_cylinder,
+                                            make_icosphere)
+    gen = {"ico": make_icosphere(), "boxm": make_box(),
+           "cyl": make_cylinder()}
     mesh_dir = os.path.join(out_dir, "meshes")
     os.makedirs(mesh_dir, exist_ok=True)
     paths = {}
