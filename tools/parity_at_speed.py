@@ -15,6 +15,8 @@ SAME 25,600-point sample of the bundled real scene and reports:
 
 Usage:
     python tools/parity_at_speed.py compare [ckpt_dir]   # correctness diff
+    python tools/parity_at_speed.py selfnoise [ckpt_dir] # noise floor (see
+                                                         # compare docstring)
     python tools/parity_at_speed.py time-parity          # scenes/sec, f32 path
     (deployment scenes/sec comes from bench.py — run solo)
 
@@ -71,10 +73,36 @@ def _variables(net, pts, ckpt_dir):
     return net.init(jax.random.key(0), {"scene_points": pts}, train=False)
 
 
-def compare(ckpt_dir=None):
+def _run_config(net, variables, pts):
     import jax
-    import jax.numpy as jnp
     from s4g_tpu.pipeline.postprocessing import post_process_predictions
+    preds = jax.jit(
+        lambda v, p, n=net: n.apply(v, {"scene_points": p}, train=False)
+    )(variables, pts)
+    post = post_process_predictions(
+        pts[0], preds["score"][0], preds["frame_R"][0],
+        preds["frame_t"][0], 0.3, -1.0, num_candidates=1024)
+    return {
+        "score": np.asarray(preds["score"][0]),      # (C, N)
+        "poses": np.asarray(post.poses),             # (K, 4, 4)
+        "scores": np.asarray(post.scores),
+        "valid": np.asarray(post.valid),
+        "cand_point": np.asarray(post.poses[:, :3, 3]),
+    }
+
+
+def compare(ckpt_dir=None, selfnoise=False):
+    """selfnoise: instead of parity-vs-deploy, run the PARITY config twice —
+    once on the cloud as loaded, once with its points PERMUTED (outputs
+    un-permuted for comparison).  Input point order is arbitrary in this
+    pipeline (the detector random-samples the cloud, grasp_detector.py),
+    and the reference is NOT order-invariant (FPS starts at index 0,
+    scan-order tie-breaks), so this measures the NOISE FLOOR of every
+    overlap/delta metric below under the pipeline's own arbitrariness —
+    exactly the arbitrariness SORT_POINTS re-rolls (divergences.md #6).  A
+    deploy-config divergence at or below this floor is indistinguishable
+    from reference-intrinsic behavior."""
+    import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
     pts = jnp.asarray(_load_scene(rng)[None])            # (1, 3, 25600)
@@ -84,20 +112,15 @@ def compare(ckpt_dir=None):
     variables = _variables(net_p, pts, ckpt_dir)
 
     out = {}
-    for name, net in (("parity", net_p), ("deploy", net_d)):
-        preds = jax.jit(
-            lambda v, p, n=net: n.apply(v, {"scene_points": p}, train=False)
-        )(variables, pts)
-        post = post_process_predictions(
-            pts[0], preds["score"][0], preds["frame_R"][0],
-            preds["frame_t"][0], 0.3, -1.0, num_candidates=1024)
-        out[name] = {
-            "score": np.asarray(preds["score"][0]),      # (C, N)
-            "poses": np.asarray(post.poses),             # (K, 4, 4)
-            "scores": np.asarray(post.scores),
-            "valid": np.asarray(post.valid),
-            "cand_point": np.asarray(post.poses[:, :3, 3]),
-        }
+    if selfnoise:
+        perm = np.random.RandomState(1).permutation(pts.shape[2])
+        out["parity"] = _run_config(net_p, variables, pts)
+        res = _run_config(net_p, variables, pts[:, :, perm])
+        res["score"] = res["score"][:, np.argsort(perm)]  # back to cloud order
+        out["deploy"] = res          # "deploy" slot holds the permuted run
+    else:
+        for name, net in (("parity", net_p), ("deploy", net_d)):
+            out[name] = _run_config(net, variables, pts)
 
     # Score field agreement (expectation over bins, the selection signal).
     def expect(score):
@@ -128,6 +151,8 @@ def compare(ckpt_dir=None):
     ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
 
     print(json.dumps({
+        "mode": ("selfnoise (parity vs parity on permuted points)"
+                 if selfnoise else "parity vs deploy"),
         "weights": "checkpoint" if ckpt_dir else "fixed random init",
         "score_expectation_max_abs_delta": round(float(d_score.max()), 4),
         "score_expectation_frac_gt_0p05": round(float((d_score > 0.05).mean()), 4),
@@ -178,6 +203,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
     if mode == "compare":
         compare(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif mode == "selfnoise":
+        compare(sys.argv[2] if len(sys.argv) > 2 else None, selfnoise=True)
     elif mode == "time-parity":
         time_parity()
     else:

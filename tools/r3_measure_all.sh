@@ -38,7 +38,13 @@ step diag_3nn       900 env S4G_3NN_SLAB=1 python tools/diag_3nn_slab.py
 step bench_3nnslab  900 env S4G_3NN_SLAB=1 python bench.py
 step bench_mlpfuse  900 env S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 step bench_both     900 env S4G_3NN_SLAB=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
-step parity_compare 1200 python tools/parity_at_speed.py compare
+# Trained weights when available (random-init rot6d vectors are near zero,
+# so Gram-Schmidt amplifies bf16 noise into ~20deg deltas that say nothing
+# about deployment parity; the r2 at-scale checkpoint survives in /tmp).
+CKPT=""
+[ -d /tmp/s4g_scale/train_out ] && CKPT=/tmp/s4g_scale/train_out
+step parity_compare 1200 python tools/parity_at_speed.py compare $CKPT
+step parity_noise   1200 python tools/parity_at_speed.py selfnoise $CKPT
 step parity_time    900 python tools/parity_at_speed.py time-parity
 step trace_b2       900 python tools/trace_forward.py --batch 2 --json "$OUT/trace_b2.json"
 step trace_diff_b2  60  python tools/trace_diff.py "$OUT/trace_fwd.json" "$OUT/trace_b2.json"
