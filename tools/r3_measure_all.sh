@@ -21,23 +21,26 @@ step() {  # step <name> <timeout-s> <cmd...>
     echo "--- $name exit=$rc" | tee -a "$OUT/summary.log"
 }
 
+# DECISION-CRITICAL FIRST (a short tunnel window should still adjudicate
+# the staged A/Bs): headline bench, then the A/B variants (env flags are
+# read at module import — one process each).  The slab 3-NN now patches
+# per-query instead of whole-call falling back, and the fused MLP-chain
+# kernel faces a different fusion landscape now that stage-1 grouped xyz
+# comes out of the ball-query kernel, not an XLA gather it used to fuse
+# with.
 step bench          900 python bench.py
+step bench_noemit   900 env S4G_EMIT_REL=0 python bench.py
+step bench_3nnslab  900 env S4G_3NN_SLAB=1 python bench.py
+step bench_mlpfuse  900 env S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
+step bench_both     900 env S4G_3NN_SLAB=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
+# Attribution + batch points.
 step trace_fwd      900 python tools/trace_forward.py --json "$OUT/trace_fwd.json"
 step trace_detect   900 python tools/trace_forward.py --detect
 step batch1         900 python tools/measure_batch.py 1
 step batch2         900 python tools/measure_batch.py 2
 step batch4         900 python tools/measure_batch.py 4
 step batch8         900 python tools/measure_batch.py 8
-step bench_noemit   900 env S4G_EMIT_REL=0 python bench.py
 step diag_3nn       900 env S4G_3NN_SLAB=1 python tools/diag_3nn_slab.py
-# A/B variants (env flags are read at module import — one process each):
-# slab 3-NN now patches per-query instead of whole-call falling back, and
-# the fused MLP-chain kernel faces a different fusion landscape now that
-# stage-1 grouped xyz comes out of the ball-query kernel, not an XLA
-# gather the MLP chain used to fuse with.
-step bench_3nnslab  900 env S4G_3NN_SLAB=1 python bench.py
-step bench_mlpfuse  900 env S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
-step bench_both     900 env S4G_3NN_SLAB=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 # Trained weights when available (random-init rot6d vectors are near zero,
 # so Gram-Schmidt amplifies bf16 noise into ~20deg deltas that say nothing
 # about deployment parity; the r2 at-scale checkpoint survives in /tmp).

@@ -13,6 +13,8 @@ if [ ! -d "$OUT/merged_data" ]; then
     timeout 900 python tools/train_at_scale.py --out "$OUT" --datagen-only \
         || exit 1
 fi
+# STEPS override: 600 default (vs 300 in round 2) — the parity-at-speed
+# instrument needs a less-flat score field to stabilize top-K rankings.
 timeout 2700 python tools/train_at_scale.py --out "$OUT" --skip-datagen \
-    --steps 300 --batch 4 2>&1 | tee "$OUT/train_log.txt" | tail -30
+    --steps "${STEPS:-600}" --batch 4 2>&1 | tee "$OUT/train_log.txt" | tail -30
 echo "summary -> $OUT/scale_run.json"
