@@ -56,6 +56,36 @@ def test_generate_end_to_end_and_train(tmp_path):
 
 
 @pytest.mark.slow
+def test_generate_end_to_end_mesh_asset(tmp_path):
+    """Mesh-ASSET scene (geom_type="mesh" + STL on disk) through the full
+    factory — guards the MJCF asset-block emission path that primitive
+    scenes never exercise (the round-3 build_arena_xml bug: mesh <asset>
+    entries were collected but never written into the document)."""
+    import os
+
+    from s4g_tpu.datagen.mesh_tools import make_icosphere, save_stl
+
+    verts, tris = make_icosphere(radius=0.03, subdiv=1)
+    stl = str(tmp_path / "ico.stl")
+    save_stl(stl, verts, tris)
+
+    meshes = {"ico": (verts, tris)}
+    specs = [ObjectSpec(name="ico", geom_type="mesh", mesh_files=[stl])]
+    merged = generate_end_to_end(meshes, specs, str(tmp_path), scene_id=0,
+                                 num_views=1, percentage=1.1, seed=0,
+                                 label_capacity=8192, render_wh=(320, 240))
+    assert len(merged) == 1
+
+    import pickle
+    with open(merged[0], "rb") as f:
+        d = pickle.load(f)
+    assert len(d["valid_index"]) > 0, "no labeled grasp points on the mesh"
+    assert np.asarray(d["search_score"]).max() > 0
+    # the object must actually be in view: some points labeled non-table
+    assert (np.asarray(d["objects_label"]) == 0).sum() > 50
+
+
+@pytest.mark.slow
 def test_grade_object_produces_valid_fields():
     verts, tris = _box_mesh(0.03)
     data = grade_object(verts, tris, num_points=1500,

@@ -142,6 +142,16 @@ def compare(ckpt_dir=None, selfnoise=False):
     match = d2.min(1) < 1e-4                     # same anchor point selected
     overlap = float(match.mean())
 
+    # Functional grasp-set overlap: a parity grasp counts as covered when
+    # SOME deploy top-50 grasp is within 1 cm translation and 10 deg
+    # rotation — operationally the same grasp, whatever its anchor index.
+    t_all = np.linalg.norm(pose_p[:, None, :3, 3] - pose_d[None, :, :3, 3],
+                           axis=-1)                          # (50, 50) m
+    tr = np.einsum("nij,mij->nm", pose_p[:, :3, :3], pose_d[:, :3, :3])
+    ang_all = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    covered = ((t_all < 0.01) & (ang_all < 10.0)).any(1)
+    overlap_fn = float(covered.mean())
+
     # Pose deltas over matched anchors.
     j = d2.argmin(1)
     t_err = np.linalg.norm(pose_p[match][:, :3, 3]
@@ -157,6 +167,7 @@ def compare(ckpt_dir=None, selfnoise=False):
         "score_expectation_max_abs_delta": round(float(d_score.max()), 4),
         "score_expectation_frac_gt_0p05": round(float((d_score > 0.05).mean()), 4),
         "top50_anchor_overlap": overlap,
+        "top50_grasp_overlap_1cm_10deg": overlap_fn,
         "matched_pose_t_delta_mm_max": round(float(t_err.max() * 1000), 3)
         if match.any() else None,
         "matched_pose_R_delta_deg_max": round(float(ang.max()), 3)
