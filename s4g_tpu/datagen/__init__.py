@@ -7,4 +7,6 @@ grasp pose post-processing, plus movability labels and the merge step.
 
 from .grading import (darboux_frames, estimate_normals, grade_frames,
                       antipodal_scores)
+from .mesh_tools import (load_mesh, make_box, make_cylinder, make_icosphere,
+                         save_stl)
 from .scene_compose import compose_scene
