@@ -1,0 +1,85 @@
+"""Deployment-scale kernel exactness differentials (CPU interpret).
+
+The fast/slow tiers exercise the Pallas kernels at tiny shapes; these run
+the REAL serving shapes (25,600 points x 5,120 centroids, the bundled
+2638_view_0.p scene geometry) through the slab routes in interpret mode
+and demand bit-exact agreement with their reference routes.  ~10 minutes
+on the 1-CPU host, so they carry their own marker:
+
+    python -m pytest tests/test_deployment_scale.py -m scale -q
+
+Run them after ANY edit to ops/pallas/neighbor_kernels.py or the
+neighbors.py glue — slab-window edge cases (capacity clamps, patch
+fallback compaction, batch grid indexing) do not reproduce at tiny shapes.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from s4g_tpu.ops import neighbors
+
+pytestmark = pytest.mark.scale
+
+
+def _scene_sorted(rng, n=25600, axis=0, shift=0.0):
+    try:
+        scene = np.load("/root/reference/inference/2638_view_0.p",
+                        allow_pickle=True)
+        cloud = scene["point_cloud"].astype(np.float32)
+    except Exception:  # bundled scene unavailable: synthetic fallback
+        cloud = (rng.rand(3, n) * 0.6 - 0.3).astype(np.float32)
+    sel = rng.choice(cloud.shape[1], n, replace=cloud.shape[1] < n)
+    pts = cloud[:, sel] + shift
+    return pts[:, np.argsort(pts[axis])]
+
+
+def test_emit_rel_bit_exact_at_deployment_scale(monkeypatch):
+    rng = np.random.RandomState(0)
+    pts = _scene_sorted(rng)
+    cents = pts[:, ::5][:, :5120]
+    q, c = jnp.asarray(pts[None]), jnp.asarray(cents[None])
+
+    monkeypatch.setattr(neighbors, "_ENV_EMIT_REL", True)
+    idx_a, cnt_a, rel_a = neighbors.ball_query_grouped(
+        q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True)
+    monkeypatch.setattr(neighbors, "_ENV_EMIT_REL", False)
+    idx_b, cnt_b, rel_b = neighbors.ball_query_grouped(
+        q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True)
+
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+    assert np.abs(np.asarray(rel_a) - np.asarray(rel_b)).max() == 0.0
+
+
+def test_slab_three_nn_bit_identical_to_full_pallas():
+    from s4g_tpu.ops.pallas.neighbor_kernels import three_nn_pallas
+
+    rng = np.random.RandomState(0)
+    pts = _scene_sorted(rng)
+    cents = pts[:, ::5][:, :5120]
+    q, k = jnp.asarray(pts[None]), jnp.asarray(cents[None])
+
+    idx_slab = neighbors._three_nn_sorted_slab(q, k, jnp.int32(0),
+                                               interpret=True)
+    idx_full, _ = three_nn_pallas(q, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx_slab), np.asarray(idx_full))
+
+
+def test_batch_axis_slab_ball_query_matches_per_scene():
+    rng = np.random.RandomState(0)
+    pts = np.stack([_scene_sorted(rng, shift=0.003 * s) for s in range(2)])
+    cents = pts[:, :, ::5][:, :, :5120]
+    pb, cb = jnp.asarray(pts), jnp.asarray(cents)
+
+    ib, cntb, relb = neighbors.ball_query_grouped(
+        pb, cb, 0.02, 64, sorted_axis=0, centroids_sorted=True)
+    for s in range(2):
+        i1, c1, r1 = neighbors.ball_query_grouped(
+            pb[s:s + 1], cb[s:s + 1], 0.02, 64,
+            sorted_axis=0, centroids_sorted=True)
+        np.testing.assert_array_equal(np.asarray(ib[s:s + 1]),
+                                      np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(cntb[s:s + 1]),
+                                      np.asarray(c1))
+        assert np.abs(np.asarray(relb[s:s + 1]) - np.asarray(r1)).max() == 0.0
