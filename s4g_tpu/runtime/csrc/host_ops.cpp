@@ -93,10 +93,13 @@ struct CellIndex {
     CellTable table;
     std::vector<int32_t> cell_of_point;
     std::vector<int32_t> starts;     // (n_slots + 1)
-    std::vector<int32_t> point_ids;  // (n)
+    std::vector<int32_t> point_ids;  // (n), counting-sorted by cell
+    std::vector<float> coords;       // (n * 3), same order as point_ids —
+                                     // dense per-cell blocks vectorize the
+                                     // distance scans
 
     CellIndex(const float* points, int64_t n, float inv)
-        : table(n), cell_of_point(n), point_ids(n) {
+        : table(n), cell_of_point(n), point_ids(n), coords(n * 3) {
         for (int64_t i = 0; i < n; ++i) {
             const float* p = points + i * 3;
             cell_of_point[i] = table.find_or_insert(pack_key(
@@ -106,8 +109,13 @@ struct CellIndex {
         for (int64_t i = 0; i < n; ++i) ++starts[cell_of_point[i] + 1];
         for (int32_t s = 0; s < table.n_slots; ++s) starts[s + 1] += starts[s];
         std::vector<int32_t> cursor(starts.begin(), starts.end() - 1);
-        for (int64_t i = 0; i < n; ++i)
-            point_ids[cursor[cell_of_point[i]]++] = static_cast<int32_t>(i);
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t c = cursor[cell_of_point[i]]++;
+            point_ids[c] = static_cast<int32_t>(i);
+            coords[c * 3 + 0] = points[i * 3 + 0];
+            coords[c * 3 + 1] = points[i * 3 + 1];
+            coords[c * 3 + 2] = points[i * 3 + 2];
+        }
     }
 };
 
@@ -201,7 +209,7 @@ void radius_outlier_mask(const float* points, int64_t n, float radius,
             if (s < 0) continue;
             const int32_t e = index.starts[s + 1];
             for (int32_t c = index.starts[s]; c < e; ++c) {
-                const float* q = points + index.point_ids[c] * 3;
+                const float* q = &index.coords[c * 3];
                 const float ddx = p[0] - q[0];
                 const float ddy = p[1] - q[1];
                 const float ddz = p[2] - q[2];
@@ -237,7 +245,7 @@ void nearest_neighbor_match(const float* query, int64_t nq,
             const int32_t e = index.starts[s + 1];
             for (int32_t c = index.starts[s]; c < e; ++c) {
                 const int32_t j = index.point_ids[c];
-                const float* q = ref + j * 3;
+                const float* q = &index.coords[c * 3];
                 const float ddx = p[0] - q[0];
                 const float ddy = p[1] - q[1];
                 const float ddz = p[2] - q[2];
