@@ -340,6 +340,57 @@ class GraspDetector:
             results.append((out["poses"][i][idx], out["scores"][i][idx]))
         return results
 
+    def _materialize(self, out, num_selected: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Device outputs -> (poses, scores), duplicate draws kept
+        (reference grasp_detector.py:240-250)."""
+        out = jax.tree.map(np.asarray, out)
+        num_valid = int(out["num_valid"])
+        if num_valid == 0:
+            return (np.zeros((0, 4, 4), np.float32),
+                    np.zeros((0,), np.float32))
+        idx = (np.asarray(out["selected"]) if num_valid > num_selected
+               else np.nonzero(out["valid"])[0])
+        return out["poses"][idx], out["scores"][idx]
+
+    def detect_stream(self, clouds, depth: int = 2, num_selected: int = 5,
+                      score_threshold: float = 0.7,
+                      verticalness_threshold: float = 0.2,
+                      collision_check: bool = True):
+        """Pipelined single-scene serving: iterate camera frames, keep
+        `depth` device programs in flight, yield (poses, scores) in input
+        order.
+
+        JAX dispatch is asynchronous, so frame i's host work (padding, RNG
+        split, dispatch — and the tunnel round-trip on remote-attached
+        TPUs) overlaps frame i-1's device execution; materialization
+        (np.asarray, which blocks) happens only once `depth` newer frames
+        are already queued.  Sequential `detect()` calls pay
+        host + dispatch + device per frame; the stream pays
+        max(device, host) once the pipe is full — the serving analog of
+        the reference's threaded DataLoader prefetch.
+        """
+        from collections import deque
+        inflight: deque = deque()
+
+        def submit(cloud):
+            cloud = np.asarray(cloud, np.float32)
+            if cloud.shape[0] == 3 and cloud.shape[1] != 3:
+                cloud = cloud.T
+            padded, valid = self._pad_cloud(cloud)
+            self._key, sub = jax.random.split(self._key)
+            return self._detect_fn(self.variables, padded, valid, sub,
+                                   float(score_threshold),
+                                   float(verticalness_threshold),
+                                   num_selected, bool(collision_check))
+
+        for cloud in clouds:
+            inflight.append(submit(cloud))
+            if len(inflight) > depth:
+                yield self._materialize(inflight.popleft(), num_selected)
+        while inflight:
+            yield self._materialize(inflight.popleft(), num_selected)
+
     def detect(self, cloud_array: np.ndarray,
                cloud_mask: Optional[np.ndarray] = None, num_selected: int = 5,
                score_threshold: float = 0.7, verticalness_threshold: float = 0.2,

@@ -276,6 +276,54 @@ def test_detector_batched_multi_scene(tmp_path, rng):
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
                     reason="bundled scene not available")
 @pytest.mark.slow
+def test_detector_stream_matches_sequential(tmp_path, rng):
+    """detect_stream consumes the same RNG sequence as sequential detect()
+    calls, so a fresh detector must produce identical poses frame-for-frame
+    — only the dispatch overlap differs."""
+    import yaml
+    cfg = {
+        "MODEL": {"TYPE": "PN2_CLS", "COMPUTE_DTYPE": "float32", "PN2": {
+            "NUM_INPUT": 256,
+            "NUM_CENTROIDS": "(64, 16)",
+            "RADIUS": "(0.02, 0.08)",
+            "NUM_NEIGHBOURS": "(16, 16)",
+            "SA_CHANNELS": "((16, 16), (16, 32))",
+            "FP_CHANNELS": "((16, 16), (16, 16))",
+            "NUM_FP_NEIGHBOURS": "(3, 3)",
+            "SEG_CHANNELS": "(16,)",
+        }},
+        "DATA": {"SCORE_CLASSES": 3},
+        "TEST": {"BATCH_SIZE": 1},
+    }
+    cfg_file = tmp_path / "tiny.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    from s4g_tpu.pipeline.detector import GraspDetector
+
+    scene = np.load(REFERENCE_SCENE, allow_pickle=True)
+    cloud = scene["point_cloud"].T.astype(np.float32)
+    sel = np.random.RandomState(0).choice(len(cloud), (3, 2048), replace=True)
+    frames = [cloud[s] for s in sel]
+    kwargs = dict(num_selected=3, score_threshold=0.0,
+                  verticalness_threshold=-1.0)
+
+    det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                        cloud_capacity=4096, num_candidates=32)
+    seq = [det.detect(f, **kwargs) for f in frames]
+
+    # Fresh detector: same seed=0 -> same init variables and RNG sequence.
+    det2 = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
+                         cloud_capacity=4096, num_candidates=32)
+    streamed = list(det2.detect_stream(frames, depth=2, **kwargs))
+
+    assert len(streamed) == len(seq)
+    for (pa, sa), (pb, sb) in zip(seq, streamed):
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(sa, sb)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SCENE),
+                    reason="bundled scene not available")
+@pytest.mark.slow
 def test_detector_contact_model_regression_t(tmp_path, rng):
     """The contact (PN2 regression-t) model must run through the detector."""
     import yaml

@@ -41,6 +41,7 @@ step batch2         900 python tools/measure_batch.py 2
 step batch4         900 python tools/measure_batch.py 4
 step batch8         900 python tools/measure_batch.py 8
 step diag_3nn       900 env S4G_3NN_SLAB=1 python tools/diag_3nn_slab.py
+step stream         900 python tools/measure_stream.py 50 2
 # Trained weights when available (random-init rot6d vectors are near zero,
 # so Gram-Schmidt amplifies bf16 noise into ~20deg deltas that say nothing
 # about deployment parity; the r2 at-scale checkpoint survives in /tmp).
