@@ -75,6 +75,41 @@ class TestMeshTools:
         assert len(cloud) == 1000  # object + table samples
 
 
+class TestPathRegistry:
+    def test_priority_order(self, tmp_path, monkeypatch):
+        from s4g_tpu.configs import path_registry as pr
+        monkeypatch.setenv("S4G_DATA_ROOT", str(tmp_path / "env_root"))
+        assert pr.data_root() == str(tmp_path / "env_root")
+        # explicit argument beats the environment
+        assert pr.data_root(str(tmp_path / "arg")) == str(tmp_path / "arg")
+
+    def test_hostname_switch(self, monkeypatch):
+        import socket
+        from s4g_tpu.configs import path_registry as pr
+        monkeypatch.delenv("S4G_DATA_ROOT", raising=False)
+        host = socket.gethostname()
+        monkeypatch.setenv("S4G_HOST_ROOTS",
+                           f"zzz=/nowhere,{host[:3]}=/cluster/ycb")
+        assert pr.data_root() == "/cluster/ycb"
+        monkeypatch.setenv("S4G_HOST_ROOTS", "zzz=/nowhere")
+        assert pr.data_root().endswith("s4g_data")   # fallback
+
+    def test_layout_matches_generator(self, tmp_path):
+        """The helpers must agree with generate_end_to_end's on-disk layout
+        (single_object_data/<obj>.p, merged_data/<scene>_view_<v>.p,
+        <scene>.npy at the root)."""
+        from s4g_tpu.configs import path_registry as pr
+        root = str(tmp_path)
+        assert pr.object_grade_path("cam0", root) == os.path.join(
+            root, "single_object_data", "cam0.p")
+        npy, views = pr.npy_and_training_data_path(0, 2, root)
+        assert npy == os.path.join(root, "0.npy")
+        assert views == [os.path.join(root, "merged_data", "0_view_0.p"),
+                         os.path.join(root, "merged_data", "0_view_1.p")]
+        d = pr.resource_dir("merged_data", root)
+        assert os.path.isdir(d)
+
+
 @pytest.mark.slow
 def test_grasp_env_lift():
     pytest.importorskip("mujoco")
