@@ -111,8 +111,12 @@ def generate_end_to_end(object_meshes: Dict[str, Tuple[np.ndarray, np.ndarray]],
                 object_data[name] = pickle.load(f)
             continue
         data = grade_object(verts, tris, rng=rng)
-        with open(path, "wb") as f:
+        # atomic publish: parallel scene workers (generate_scenes) may race
+        # on a shared object cache — a half-written pickle must never land
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             pickle.dump(data, f)
+        os.replace(tmp, path)
         object_data[name] = data
 
     # 2. drop simulation
@@ -155,3 +159,67 @@ def generate_end_to_end(object_meshes: Dict[str, Tuple[np.ndarray, np.ndarray]],
             pickle.dump(out, f)
         merged_paths.append(path)
     return merged_paths
+
+
+def _scene_worker_init():
+    # Datagen is host-side work; a spawned child must not grab the device
+    # the parent holds (or hang connecting to a remote-attached platform).
+    # The grading math is exact on CPU (tools/datagen_mesh_qa.py forces the
+    # same).  Runs before any task initializes a jax backend in the child.
+    os.environ["JAX_PLATFORMS"] = os.environ.get(
+        "S4G_DATAGEN_JAX_PLATFORMS", "cpu")
+
+
+def _gen_scene_worker(args):
+    (object_meshes, object_specs, out_dir, scene_id, num_views, percentage,
+     seed, label_capacity, render_wh) = args
+    return generate_end_to_end(object_meshes, object_specs, out_dir,
+                               scene_id=scene_id, num_views=num_views,
+                               percentage=percentage, seed=seed,
+                               label_capacity=label_capacity,
+                               render_wh=render_wh)
+
+
+def generate_scenes(object_meshes: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                    specs_per_scene: List[List[ObjectSpec]], out_dir: str,
+                    *, num_views: int = 4, percentage: float = 1.0,
+                    base_seed: int = 0, label_capacity: int = 16384,
+                    render_wh: Tuple[int, int] = (640, 480),
+                    workers: int = 1) -> List[List[str]]:
+    """Multi-scene factory driver; per-scene seed = base_seed + scene_id.
+
+    The reference fans scene generation across host processes
+    (generate_simulation.py:49-53 / generate_valid_direction.py:38-42
+    mp.Pool); `workers > 1` does the same with a SPAWN context (forking
+    after jax initializes deadlocks).  Scenes are independent.  With
+    `workers > 1` the shared per-object grading cache is PRE-SEEDED here
+    (deterministic name order, RandomState(base_seed)) so racing workers
+    never grade the same object twice; note this hoists grading out of the
+    first scene's rng stream, so a parallel run re-rolls that scene's
+    render-noise draws relative to a cold sequential run (resumed
+    sequential runs — cache already present — match parallel exactly).
+    Returns per-scene merged pickle path lists.
+    """
+    jobs = [(object_meshes, specs, out_dir, sid, num_views, percentage,
+             base_seed + sid, label_capacity, render_wh)
+            for sid, specs in enumerate(specs_per_scene)]
+    if workers <= 1:
+        return [_gen_scene_worker(j) for j in jobs]
+    obj_dir = os.path.join(out_dir, "single_object_data")
+    os.makedirs(obj_dir, exist_ok=True)
+    grade_rng = np.random.RandomState(base_seed)
+    for name in sorted(object_meshes):
+        path = os.path.join(obj_dir, f"{name}.p")
+        if os.path.exists(path):
+            continue
+        verts, tris = object_meshes[name]
+        data = grade_object(verts, tris, rng=grade_rng)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(data, f)
+        os.replace(tmp, path)
+    import multiprocessing as mp
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(min(workers, len(jobs)),
+                  initializer=_scene_worker_init) as pool:
+        return pool.map(_gen_scene_worker, jobs)

@@ -86,6 +86,51 @@ def test_generate_end_to_end_mesh_asset(tmp_path):
 
 
 @pytest.mark.slow
+def test_generate_scenes_parallel_matches_resumed_sequential(tmp_path):
+    """workers=2 spawn-pool fan-out (reference generate_simulation.py mp.Pool)
+    must produce byte-identical labels to a RESUMED sequential run (object
+    grading cache already present).  That is the driver's contract: grading
+    consumes a scene's numpy rng draws only on a cache miss, so a cold run
+    and a resumed run differ in the grading scene's render-noise stream —
+    a quirk the sequential driver always had; workers>1 pre-grades (hoists
+    the cache misses) and therefore lands on the resumed stream."""
+    import os
+    import pickle
+    import shutil
+
+    from s4g_tpu.datagen.generate import generate_scenes
+
+    meshes = {"boxA": _box_mesh(0.028), "boxB": _box_mesh(0.022)}
+    specs_per_scene = [
+        [ObjectSpec(name="boxA", geom_type="box", size="0.028 0.028 0.028")],
+        [ObjectSpec(name="boxB", geom_type="box", size="0.022 0.022 0.022")],
+    ]
+    kwargs = dict(num_views=1, percentage=1.1, base_seed=3,
+                  label_capacity=4096, render_wh=(320, 240))
+
+    seq_dir, par_dir = str(tmp_path / "seq"), str(tmp_path / "par")
+    generate_scenes(meshes, specs_per_scene, seq_dir, workers=1,
+                    **kwargs)                       # cold: seeds the cache
+    seq = generate_scenes(meshes, specs_per_scene, seq_dir, workers=1,
+                          **kwargs)                 # resumed (warm) stream
+    shutil.copytree(os.path.join(seq_dir, "single_object_data"),
+                    os.path.join(par_dir, "single_object_data"))
+    par = generate_scenes(meshes, specs_per_scene, par_dir, workers=2,
+                          **kwargs)
+    assert [len(p) for p in seq] == [len(p) for p in par]
+    for s_paths, p_paths in zip(seq, par):
+        for sp, pp in zip(s_paths, p_paths):
+            with open(sp, "rb") as f:
+                a = pickle.load(f)
+            with open(pp, "rb") as f:
+                b = pickle.load(f)
+            assert sorted(a.keys()) == sorted(b.keys())
+            for key in ("point_cloud", "search_score", "valid_index"):
+                np.testing.assert_array_equal(np.asarray(a[key]),
+                                              np.asarray(b[key]), err_msg=key)
+
+
+@pytest.mark.slow
 def test_grade_object_produces_valid_fields():
     verts, tris = _box_mesh(0.03)
     data = grade_object(verts, tris, num_points=1500,

@@ -47,10 +47,16 @@ def main():
                         help="generate the scenes and exit (CPU-only; lets "
                              "the TPU window skip straight to training with "
                              "--skip-datagen)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="parallel scene-generation processes (spawn "
+                             "pool; per-scene seeds are id-based, but "
+                             "workers>1 pre-grades shared objects, which "
+                             "re-rolls scene 0's render-noise draws vs a "
+                             "cold sequential run)")
     args = parser.parse_args()
 
     from s4g_tpu.configs.config import load_cfg_from_dict
-    from s4g_tpu.datagen.generate import generate_end_to_end
+    from s4g_tpu.datagen.generate import generate_scenes
     from s4g_tpu.datagen.scene_sim import ObjectSpec
     from s4g_tpu.train import SceneGraspDataset, Trainer
 
@@ -67,23 +73,22 @@ def main():
     val_dir = os.path.join(val_root, "merged_data")
     if not args.skip_datagen:
         tic = time.time()
-        total = 0
-        for scene_id in range(args.scenes):
-            merged = generate_end_to_end(
-                meshes, specs, args.out, scene_id=scene_id,
-                num_views=args.views, percentage=1.1, seed=scene_id,
-                label_capacity=16384, render_wh=(640, 480))
-            total += len(merged)
+        common = dict(num_views=args.views, percentage=1.1,
+                      label_capacity=16384, render_wh=(640, 480),
+                      workers=args.workers)
+        # Per-scene seeds match the round-2 sequential driver exactly
+        # (train: seed=scene_id; val: seed=9000+scene_id).
+        train_lists = generate_scenes(meshes, [specs] * args.scenes,
+                                      args.out, base_seed=0, **common)
+        for scene_id, merged in enumerate(train_lists):
             print(f"[datagen] scene {scene_id}: {len(merged)} views "
                   f"({time.time() - tic:.0f}s elapsed)", flush=True)
-        for scene_id in range(args.val_scenes):   # held-out val scenes
-            merged = generate_end_to_end(
-                meshes, specs, val_root, scene_id=scene_id,
-                num_views=args.views, percentage=1.1, seed=9000 + scene_id,
-                label_capacity=16384, render_wh=(640, 480))
-            total += len(merged)
+        val_lists = generate_scenes(meshes, [specs] * args.val_scenes,
+                                    val_root, base_seed=9000, **common)
+        for scene_id, merged in enumerate(val_lists):
             print(f"[datagen] val scene {scene_id}: {len(merged)} views",
                   flush=True)
+        total = sum(len(m) for m in train_lists + val_lists)
         print(f"[datagen] {total} views in {time.time() - tic:.0f}s",
               flush=True)
     if args.datagen_only:
