@@ -5,6 +5,7 @@ viewed-point rendering -> scene point generation -> grasp pose searching ->
 grasp pose post-processing, plus movability labels and the merge step.
 """
 
+from .generate import generate_end_to_end, generate_scenes, grade_object
 from .grading import (darboux_frames, estimate_normals, grade_frames,
                       antipodal_scores)
 from .mesh_tools import (load_mesh, make_box, make_cylinder, make_icosphere,
