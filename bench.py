@@ -110,6 +110,8 @@ def main():
 
     from s4g_tpu.configs.config import load_cfg_from_file
     from s4g_tpu.models import build_model
+    from s4g_tpu.ops import neighbors as _neighbors_mod
+    from s4g_tpu.ops import sampling as _sampling_mod
     from s4g_tpu.ops.neighbors import ball_query, three_nn
     from s4g_tpu.ops.sampling import farthest_point_sample
     from s4g_tpu.pipeline.postprocessing import post_process_predictions
@@ -178,6 +180,11 @@ def main():
             "model_mfu_pct": round(mfu * 100, 1),
             "timing": "chained-dispatch slope (dispatch/tunnel cancels)",
             "backend": jax.default_backend(),
+            # active kernel routes after the compile probes — if a staged
+            # Pallas path failed to compile, the fallback is visible here
+            # rather than silently shaping the headline.
+            "fps_impl": _sampling_mod._ENV_FPS_IMPL,
+            "emit_rel": bool(_neighbors_mod._ENV_EMIT_REL),
         },
     }
     print(json.dumps(result))
