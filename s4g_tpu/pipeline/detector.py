@@ -418,24 +418,12 @@ class GraspDetector:
                               float(score_threshold),
                               float(verticalness_threshold),
                               num_selected, bool(collision_check))
-        out = jax.tree.map(np.asarray, out)
+        poses, scores = self._materialize(out, num_selected)
         tac = time.time()
         self.logger.info("Device pipeline finished, cost ***%.4fs***", tac - tic)
-
-        poses, scores, valid_mask = out["poses"], out["scores"], out["valid"]
-        num_valid = int(out["num_valid"])
-        if num_valid == 0:
+        if len(poses) == 0:
             self.logger.info("No valid grasp found")
-            return np.zeros((0, 4, 4), np.float32), np.zeros((0,), np.float32)
-
-        if num_valid > num_selected:
-            # Keep duplicate inverse-CDF draws, exactly like the reference
-            # (grasp_detector.py:240-250): num_selected poses come back,
-            # possibly repeated.
-            idx = np.asarray(out["selected"])
-        else:
-            idx = np.nonzero(valid_mask)[0]
-        poses, scores = poses[idx], scores[idx]
+            return poses, scores
 
         if debug:
             dbg = os.path.join(self._output_path, "debug")
