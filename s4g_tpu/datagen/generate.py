@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import zlib
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
@@ -161,19 +162,28 @@ def generate_end_to_end(object_meshes: Dict[str, Tuple[np.ndarray, np.ndarray]],
     return merged_paths
 
 
-def _scene_worker_init():
+_WORKER_MESHES: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _scene_worker_init(object_meshes=None):
     # Datagen is host-side work; a spawned child must not grab the device
     # the parent holds (or hang connecting to a remote-attached platform).
     # The grading math is exact on CPU (tools/datagen_mesh_qa.py forces the
     # same).  Runs before any task initializes a jax backend in the child.
     os.environ["JAX_PLATFORMS"] = os.environ.get(
         "S4G_DATAGEN_JAX_PLATFORMS", "cpu")
+    if object_meshes is not None:
+        # Mesh geometry ships ONCE per worker through initargs; putting it
+        # in every job tuple would re-pickle the whole dict per scene
+        # (tens of MB at the reference's 118-mesh scale).
+        _WORKER_MESHES.clear()
+        _WORKER_MESHES.update(object_meshes)
 
 
 def _gen_scene_worker(args):
-    (object_meshes, object_specs, out_dir, scene_id, num_views, percentage,
+    (object_specs, out_dir, scene_id, num_views, percentage,
      seed, label_capacity, render_wh) = args
-    return generate_end_to_end(object_meshes, object_specs, out_dir,
+    return generate_end_to_end(_WORKER_MESHES, object_specs, out_dir,
                                scene_id=scene_id, num_views=num_views,
                                percentage=percentage, seed=seed,
                                label_capacity=label_capacity,
@@ -200,26 +210,34 @@ def generate_scenes(object_meshes: Dict[str, Tuple[np.ndarray, np.ndarray]],
     sequential runs — cache already present — match parallel exactly).
     Returns per-scene merged pickle path lists.
     """
-    jobs = [(object_meshes, specs, out_dir, sid, num_views, percentage,
+    jobs = [(specs, out_dir, sid, num_views, percentage,
              base_seed + sid, label_capacity, render_wh)
             for sid, specs in enumerate(specs_per_scene)]
     if workers <= 1:
+        # in-process: hand the worker global its meshes without the
+        # initializer's env mutation (the parent may legitimately hold a
+        # TPU backend)
+        _WORKER_MESHES.clear()
+        _WORKER_MESHES.update(object_meshes)
         return [_gen_scene_worker(j) for j in jobs]
     obj_dir = os.path.join(out_dir, "single_object_data")
     os.makedirs(obj_dir, exist_ok=True)
-    grade_rng = np.random.RandomState(base_seed)
     for name in sorted(object_meshes):
         path = os.path.join(obj_dir, f"{name}.p")
         if os.path.exists(path):
             continue
+        # Fresh per-(base_seed, name) rng: a shared stream would make an
+        # object's grade depend on which OTHER objects happened to be
+        # cached (skipped draws) — silent label drift on partial resumes.
+        seed = (base_seed + zlib.crc32(name.encode())) & 0x7fffffff
         verts, tris = object_meshes[name]
-        data = grade_object(verts, tris, rng=grade_rng)
+        data = grade_object(verts, tris, rng=np.random.RandomState(seed))
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             pickle.dump(data, f)
         os.replace(tmp, path)
     import multiprocessing as mp
     ctx = mp.get_context("spawn")
-    with ctx.Pool(min(workers, len(jobs)),
-                  initializer=_scene_worker_init) as pool:
+    with ctx.Pool(min(workers, len(jobs)), initializer=_scene_worker_init,
+                  initargs=(object_meshes,)) as pool:
         return pool.map(_gen_scene_worker, jobs)

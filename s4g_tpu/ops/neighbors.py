@@ -481,12 +481,12 @@ def ball_query(points: Array, centroids: Array, radius: float,
     return idx, count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7))
 def ball_query_grouped(points: Array, centroids: Array, radius: float,
                        num_neighbours: int, chunk: int = 512,
                        sorted_axis: Optional[Array] = None,
                        slab_capacity: int = 6144,
-                       centroids_sorted: bool = False):
+                       centroids_sorted: bool = False,
+                       emit_impl: Optional[bool] = None):
     """Ball query that ALSO returns the grouped relative coordinates
     rel = points[index] - centroid, (B, M, K, 3) f32 — the SA-stage
     grouped-xyz input (reference grouping_kernel.cu:32-53 + modules.py:44).
@@ -498,10 +498,31 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
     values with a flat row gather.  count == 0 centroids emit rel = 0 on
     all routes (unreachable when centroids are drawn from `points`, as in
     SA stages: a centroid is strictly within any radius of itself).
+
+    `emit_impl` selects the route explicitly (None = the S4G_EMIT_REL
+    module flag).  The choice is resolved HERE, in the unjitted wrapper,
+    and passed to the jitted body as a static argument: reading the module
+    flag at trace time would bake the route into the pjit cache keyed only
+    on shapes, so a later flag flip (bench.py's compile-failure fallback,
+    test monkeypatching) would silently reuse the stale route.
     """
+    if emit_impl is None:
+        emit_impl = _ENV_EMIT_REL
+    return _ball_query_grouped_jit(points, centroids, radius,
+                                   num_neighbours, chunk, sorted_axis,
+                                   slab_capacity, centroids_sorted,
+                                   bool(emit_impl))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8))
+def _ball_query_grouped_jit(points: Array, centroids: Array, radius: float,
+                            num_neighbours: int, chunk: int,
+                            sorted_axis: Optional[Array],
+                            slab_capacity: int, centroids_sorted: bool,
+                            emit_impl: bool):
     b, _, m = centroids.shape
     n = points.shape[2]
-    if sorted_axis is not None and n > slab_capacity and _ENV_EMIT_REL:
+    if sorted_axis is not None and n > slab_capacity and emit_impl:
         return _ball_query_sorted_pruned(points, centroids, radius * radius,
                                          num_neighbours, chunk,
                                          jnp.asarray(sorted_axis, jnp.int32),

@@ -12,7 +12,7 @@
 // unordered_map<CellKey, vector<int32_t>> grids — per-cell heap vectors
 // and node-based buckets made the outlier filter 52 ms on a 45k-point
 // real frame, 9x the DEVICE detect time.  This version uses a flat
-// open-addressing hash (packed 21-bit cell coords, splitmix64, linear
+// open-addressing hash (exact int32 cell coords, splitmix64, linear
 // probing) feeding a counting-sorted point index, and scans the 27-cell
 // neighborhood CENTER-FIRST so dense clouds early-exit after a handful of
 // distance checks.  Measured on the same frame: outlier 52 -> ~3 ms,
@@ -27,15 +27,6 @@
 
 namespace {
 
-// Pack signed 21-bit cell coordinates into one int64 key.
-constexpr int32_t kBias = 1 << 20;
-
-inline int64_t pack_key(int32_t x, int32_t y, int32_t z) {
-    return (static_cast<int64_t>(x + kBias) << 42) |
-           (static_cast<int64_t>(y + kBias) << 21) |
-           static_cast<int64_t>(z + kBias);
-}
-
 inline uint64_t mix64(uint64_t v) {  // splitmix64 finalizer
     v += 0x9e3779b97f4a7c15ull;
     v = (v ^ (v >> 30)) * 0xbf58476d1ce4e5b9ull;
@@ -43,45 +34,67 @@ inline uint64_t mix64(uint64_t v) {  // splitmix64 finalizer
     return v ^ (v >> 31);
 }
 
+// Saturating float -> int32 cell index: the raw cast is UB once
+// |v * inv| exceeds int32 (invalid-depth sentinel points at 1e8 m), and
+// NaN casts to an unspecified value.  Saturation merges absurd far-field
+// garbage into the extreme cells without corrupting anything.
 inline int32_t cell_of(float v, float inv) {
-    return static_cast<int32_t>(std::floor(v * inv));
+    const float c = std::floor(v * inv);
+    if (!(c >= -2147483648.0f)) return INT32_MIN;  // also catches NaN
+    if (c >= 2147483647.0f) return INT32_MAX;
+    return static_cast<int32_t>(c);
 }
 
-// Open-addressing cell table: key -> dense slot id (insertion order).
+struct Cell {
+    int32_t x, y, z;
+};
+
+// Open-addressing cell table: exact (x, y, z) cell coords -> dense slot id
+// (insertion order).  Coordinates are stored and compared EXACTLY — a
+// packed-bits key would alias distinct far-apart cells (the predecessor
+// unordered_map was exact for any int32 cell, and so is this).
 struct CellTable {
-    std::vector<int64_t> keys;   // -1 = empty
-    std::vector<int32_t> slots;
+    std::vector<Cell> cells;
+    std::vector<int32_t> slots;  // -1 = empty bucket
     uint64_t mask = 0;
     int32_t n_slots = 0;
 
     explicit CellTable(int64_t expected) {
         uint64_t cap = 64;
         while (cap < static_cast<uint64_t>(expected) * 2) cap <<= 1;
-        keys.assign(cap, -1);
+        cells.resize(cap);
         slots.assign(cap, -1);
         mask = cap - 1;
     }
 
-    int32_t find_or_insert(int64_t key) {
-        uint64_t h = mix64(static_cast<uint64_t>(key)) & mask;
+    static uint64_t hash(int32_t x, int32_t y, int32_t z) {
+        uint64_t h = mix64(static_cast<uint32_t>(x));
+        h = mix64(h ^ static_cast<uint32_t>(y));
+        return mix64(h ^ static_cast<uint32_t>(z));
+    }
+
+    int32_t find_or_insert(int32_t x, int32_t y, int32_t z) {
+        uint64_t h = hash(x, y, z) & mask;
         while (true) {
-            int64_t k = keys[h];
-            if (k == key) return slots[h];
-            if (k == -1) {
-                keys[h] = key;
+            const int32_t s = slots[h];
+            if (s < 0) {
+                cells[h] = Cell{x, y, z};
                 slots[h] = n_slots;
                 return n_slots++;
             }
+            const Cell& c = cells[h];
+            if (c.x == x && c.y == y && c.z == z) return s;
             h = (h + 1) & mask;
         }
     }
 
-    int32_t find(int64_t key) const {
-        uint64_t h = mix64(static_cast<uint64_t>(key)) & mask;
+    int32_t find(int32_t x, int32_t y, int32_t z) const {
+        uint64_t h = hash(x, y, z) & mask;
         while (true) {
-            int64_t k = keys[h];
-            if (k == key) return slots[h];
-            if (k == -1) return -1;
+            const int32_t s = slots[h];
+            if (s < 0) return -1;
+            const Cell& c = cells[h];
+            if (c.x == x && c.y == y && c.z == z) return s;
             h = (h + 1) & mask;
         }
     }
@@ -102,8 +115,8 @@ struct CellIndex {
         : table(n), cell_of_point(n), point_ids(n), coords(n * 3) {
         for (int64_t i = 0; i < n; ++i) {
             const float* p = points + i * 3;
-            cell_of_point[i] = table.find_or_insert(pack_key(
-                cell_of(p[0], inv), cell_of(p[1], inv), cell_of(p[2], inv)));
+            cell_of_point[i] = table.find_or_insert(
+                cell_of(p[0], inv), cell_of(p[1], inv), cell_of(p[2], inv));
         }
         starts.assign(table.n_slots + 1, 0);
         for (int64_t i = 0; i < n; ++i) ++starts[cell_of_point[i] + 1];
@@ -159,9 +172,9 @@ int64_t voxel_downsample_trace(const float* points, int64_t n,
     const float inv = 1.0f / voxel_size;
     for (int64_t i = 0; i < n; ++i) {
         const float* p = points + i * 3;
-        const int32_t s = table.find_or_insert(pack_key(
+        const int32_t s = table.find_or_insert(
             cell_of(p[0] - origin_x, inv), cell_of(p[1] - origin_y, inv),
-            cell_of(p[2] - origin_z, inv)));
+            cell_of(p[2] - origin_z, inv));
         if (s == static_cast<int32_t>(counts.size())) {
             sums.insert(sums.end(), {0.0, 0.0, 0.0});
             counts.push_back(0);
@@ -203,9 +216,9 @@ void radius_outlier_mask(const float* points, int64_t n, float radius,
         for (int k = 0; k < 27 && count < min_neighbors; ++k) {
             const int32_t s =
                 k == 0 ? index.cell_of_point[i]
-                       : index.table.find(pack_key(cx + kOrder.d[k][0],
-                                                   cy + kOrder.d[k][1],
-                                                   cz + kOrder.d[k][2]));
+                       : index.table.find(cx + kOrder.d[k][0],
+                                          cy + kOrder.d[k][1],
+                                          cz + kOrder.d[k][2]);
             if (s < 0) continue;
             const int32_t e = index.starts[s + 1];
             for (int32_t c = index.starts[s]; c < e; ++c) {
@@ -238,9 +251,9 @@ void nearest_neighbor_match(const float* query, int64_t nq,
         int64_t best = -1;
         float best_d = r2;
         for (int k = 0; k < 27; ++k) {
-            const int32_t s = index.table.find(pack_key(
+            const int32_t s = index.table.find(
                 cx + kOrder.d[k][0], cy + kOrder.d[k][1],
-                cz + kOrder.d[k][2]));
+                cz + kOrder.d[k][2]);
             if (s < 0) continue;
             const int32_t e = index.starts[s + 1];
             for (int32_t c = index.starts[s]; c < e; ++c) {

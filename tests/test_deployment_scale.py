@@ -34,18 +34,21 @@ def _scene_sorted(rng, n=25600, axis=0, shift=0.0):
     return pts[:, np.argsort(pts[axis])]
 
 
-def test_emit_rel_bit_exact_at_deployment_scale(monkeypatch):
+def test_emit_rel_bit_exact_at_deployment_scale():
     rng = np.random.RandomState(0)
     pts = _scene_sorted(rng)
     cents = pts[:, ::5][:, :5120]
     q, c = jnp.asarray(pts[None]), jnp.asarray(cents[None])
 
-    monkeypatch.setattr(neighbors, "_ENV_EMIT_REL", True)
+    # emit_impl is a STATIC argument of the jitted body (separate pjit
+    # cache entries) — flipping a module global would not retrace and the
+    # comparison would be the emit route against itself.
     idx_a, cnt_a, rel_a = neighbors.ball_query_grouped(
-        q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True)
-    monkeypatch.setattr(neighbors, "_ENV_EMIT_REL", False)
+        q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True,
+        emit_impl=True)
     idx_b, cnt_b, rel_b = neighbors.ball_query_grouped(
-        q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True)
+        q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True,
+        emit_impl=False)
 
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
     np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))

@@ -60,6 +60,33 @@ class TestRadiusOutlier:
         np.testing.assert_array_equal(keep, want)
 
 
+class TestGarbageCoordinates:
+    def test_sentinel_points_do_not_corrupt_grids(self):
+        """Invalid-depth sentinel points (1e4 m, -1e8 m) must neither crash
+        the flat-hash grids nor perturb results for the sane points — the
+        float->int32 cell cast saturates and cells compare exactly."""
+        from s4g_tpu.runtime.host_ops import voxel_downsample_trace
+
+        rng = np.random.RandomState(0)
+        pts = (rng.rand(3000, 3) * 0.05).astype(np.float32)  # dense cluster
+        dirty = pts.copy()
+        dirty[:30] = 1e4
+        dirty[30:60] = -9.9e3
+        dirty[60:70] = np.array([1e8, -1e8, 5e7], np.float32)
+
+        keep = radius_outlier_mask(dirty, 0.01, 5)
+        assert keep[70:].mean() > 0.95          # sane points unaffected
+        v, t = voxel_downsample_trace(dirty, 0.004)
+        assert len(v) > 100                     # no far-origin collapse
+
+        # sane subset: exact numpy-oracle agreement
+        sane = dirty[70:]
+        d2 = np.sum((sane[:, None] - sane[None]) ** 2, -1)
+        want = (d2 < 0.01 ** 2).sum(1) >= 5
+        np.testing.assert_array_equal(
+            radius_outlier_mask(sane, 0.01, 5).astype(bool), want)
+
+
 class TestNNMatch:
     def test_matches_bruteforce(self):
         rng = np.random.RandomState(3)
