@@ -32,9 +32,14 @@ from jax import lax
 
 Array = jax.Array
 
-# Behaviour env flags are read ONCE at import: they are consulted at trace
-# time inside jitted code, so later env mutations would silently miss the
-# jit cache anyway (ADVICE r2).  Patch these module attributes to override.
+# Behaviour env flags are read ONCE at import.  CAUTION: the BQ/3NN impl
+# flags below are consulted at TRACE time inside jitted bodies, and the
+# pjit cache keys only on shapes/statics — patching one of these module
+# attributes after a call with the same shapes has already traced will
+# silently reuse the stale route.  Patch BEFORE the first call (tests), or
+# use one process per variant (the measurement runbooks do).  _ENV_EMIT_REL
+# is exempt: ball_query_grouped resolves it in an unjitted wrapper and
+# threads it as a static argument.
 _ENV_BQ_SLAB_IMPL = os.environ.get("S4G_BQ_SLAB_IMPL", "pallas")
 _ENV_BQ_IMPL = os.environ.get("S4G_BQ_IMPL")
 _ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
