@@ -364,11 +364,14 @@ def fps_sharding_applies(n: int, num_centroids: int,
             and n // num_shards >= num_centroids // num_shards)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def farthest_point_sample(points: Array, num_centroids: int,
                           impl: str = "auto", num_shards: int = 1,
                           sort_local: bool = False) -> Array:
-    """Farthest point sampling.
+    """Farthest point sampling.  (Unjitted wrapper: "auto" resolves the
+    module impl flag HERE, before jit, and the concrete impl is a static
+    argument of the jitted body — resolving at trace time would bake the
+    route into a pjit cache keyed only on shapes, so bench.py's
+    compile-failure fallback flip would silently reuse the stale route.)
 
     Args:
         points: (B, 3, N) xyz, channels-first (reference layout).
@@ -388,11 +391,19 @@ def farthest_point_sample(points: Array, num_centroids: int,
     Returns:
         (B, M) int32 centroid indices; index 0 is always first (exact path).
     """
+    if impl == "auto":
+        impl = _ENV_FPS_IMPL or (
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+    return _farthest_point_sample_jit(points, num_centroids, impl,
+                                      num_shards, sort_local)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _farthest_point_sample_jit(points: Array, num_centroids: int,
+                               impl: str, num_shards: int,
+                               sort_local: bool) -> Array:
     n = points.shape[2]
     if fps_sharding_applies(n, num_centroids, num_shards):
-        if impl == "auto":
-            impl = _ENV_FPS_IMPL or (
-                "pallas" if jax.default_backend() == "tpu" else "xla")
         interp = impl == "pallas_interpret"
         if impl == "xla":
             out = _fps_sharded_xla(points, num_centroids, num_shards)
@@ -409,9 +420,6 @@ def farthest_point_sample(points: Array, num_centroids: int,
                 .reshape(-1, num_centroids)
         return out
 
-    if impl == "auto":
-        impl = _ENV_FPS_IMPL or (
-            "pallas" if jax.default_backend() == "tpu" else "xla")
     if impl == "xla":
         return _fps_xla(points, num_centroids)
     if impl == "pallas":
