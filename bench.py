@@ -81,8 +81,12 @@ def _select_fps_impl():
     from s4g_tpu.ops import neighbors, sampling
     try:
         probe = jnp.zeros((1, 3, 25600), jnp.float32)
+        # Probe BOTH Pallas FPS kernels the model can route to: the exact
+        # chain (num_shards=1) and the deployment lane-sharded variant.
         float(np.asarray(sampling.farthest_point_sample(
             probe, 5120, impl="pallas").sum()))
+        float(np.asarray(sampling.farthest_point_sample(
+            probe, 5120, impl="pallas", num_shards=128).sum()))
     except Exception:
         # The flag is read at sampling-module import (ADVICE r2), so the
         # fallback must patch the module attribute, not the environment.
