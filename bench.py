@@ -7,6 +7,14 @@ the attached TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
+Infra contract (VERDICT r3 #1/#2): every step that can touch the axon
+tunnel runs under a hard wall-clock deadline.  The measurement itself runs
+in a supervised child process; if the backend is unreachable or the child
+exceeds its deadline, the supervisor prints a structured JSON line with
+"value": null and an "error" field within bounded time — never rc 124.
+The child emits a PARTIAL line after each completed stage so a mid-bench
+hang still surfaces everything measured up to that point.
+
 vs_baseline uses BASELINE.md's reference anchor: the reference publishes no
 numbers, so we anchor on an H100 estimate for the same PointNet++ forward
 (~10 ms/scene => 100 scenes/sec; the driver's north star is 4x that).
@@ -29,6 +37,9 @@ the TPU — a concurrent process inflates both endpoints non-uniformly.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -36,6 +47,14 @@ import numpy as np
 REF_SCENES_PER_SEC = 100.0  # documented H100-estimate anchor (BASELINE.md)
 MODEL_GMACS = 110.0         # PN2_CLS forward at 25,600 pts (BASELINE.md)
 V5E_PEAK_BF16_TFLOPS = 394.0
+
+METRIC = ("scenes/sec/chip single-view grasp inference "
+          "(e2e fwd+postproc+collision, 25600 pts, batch 1)")
+
+
+def _error_result(error, detail=None):
+    return {"metric": METRIC, "value": None, "unit": "scenes/sec",
+            "vs_baseline": None, "error": error, "detail": detail or {}}
 
 
 def slope_time(fn, args, lo=10, hi=60, reps=3):
@@ -73,44 +92,46 @@ def slope_time(fn, args, lo=10, hi=60, reps=3):
     return min(best)
 
 
-def _select_fps_impl():
-    """Probe the Pallas builds; fall back to proven paths if the Mosaic
-    compiler rejects one (e.g. remote-compile-helper outage, or a staged
-    kernel that has only ever run in interpret mode)."""
-    import jax.numpy as jnp
+def _select_routes():
+    """Probe the Pallas builds in deadline-bounded subprocesses; fall back
+    to proven paths when a kernel fails to compile OR the remote Mosaic
+    helper hangs (a mid-session failure mode documented in BASELINE.md —
+    an in-process probe would hang the whole bench, VERDICT r3 weak #2)."""
+    import jax
     from s4g_tpu.ops import neighbors, sampling
-    try:
-        probe = jnp.zeros((1, 3, 25600), jnp.float32)
-        # Probe BOTH Pallas FPS kernels the model can route to: the exact
-        # chain (num_shards=1) and the deployment lane-sharded variant.
-        float(np.asarray(sampling.farthest_point_sample(
-            probe, 5120, impl="pallas").sum()))
-        float(np.asarray(sampling.farthest_point_sample(
-            probe, 5120, impl="pallas", num_shards=128).sum()))
-    except Exception:
-        # The flag is read at sampling-module import (ADVICE r2), so the
-        # fallback must patch the module attribute, not the environment.
-        sampling._ENV_FPS_IMPL = "xla"
+    from s4g_tpu.runtime import guard
+
+    if jax.default_backend() != "tpu":
+        return
+    probe_s = float(os.environ.get("S4G_PALLAS_PROBE_DEADLINE", 420))
+    if not guard.pallas_fps_compiles(timeout_s=probe_s):
+        sampling.set_default_fps_impl("xla")
     if neighbors._ENV_EMIT_REL:
         # In-kernel rel-xyz emission at the deployment slab shape; on a
-        # compile failure fall back to ball_query + flat XLA gather (the
-        # round-2-proven route) rather than crashing the headline bench.
-        try:
-            keys = jnp.linspace(0.0, 1.0, 25600, dtype=jnp.float32)
-            pts = jnp.stack([keys, keys * 0.5, keys * 0.25])[None]
-            cents = pts[:, :, ::5]
-            idx, _, rel = neighbors.ball_query_grouped(
-                pts, cents, 0.02, 64, sorted_axis=0, centroids_sorted=True)
-            float(np.asarray(rel.sum()) + float(np.asarray(idx.sum())))
-        except Exception:
-            neighbors._ENV_EMIT_REL = False
+        # compile failure/hang fall back to ball_query + flat XLA gather
+        # (the round-2-proven route) rather than crashing the headline.
+        rc, _ = guard.run_subprocess(
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            "from s4g_tpu.ops import neighbors\n"
+            "keys = jnp.linspace(0.0, 1.0, 25600, dtype=jnp.float32)\n"
+            "pts = jnp.stack([keys, keys * 0.5, keys * 0.25])[None]\n"
+            "cents = pts[:, :, ::5]\n"
+            "idx, _, rel = neighbors.ball_query_grouped(\n"
+            "    pts, cents, 0.02, 64, sorted_axis=0,"
+            " centroids_sorted=True)\n"
+            "print(float(np.asarray(rel.sum()))"
+            " + float(np.asarray(idx.sum())))\n",
+            probe_s)
+        if rc != 0:
+            neighbors.set_emit_rel(False)
 
 
-def main():
+def _bench_child():
+    """The actual measurement; prints PARTIAL lines then a RESULT line."""
     import jax
     import jax.numpy as jnp
 
-    _select_fps_impl()
+    _select_routes()
 
     from s4g_tpu.configs.config import load_cfg_from_file
     from s4g_tpu.models import build_model
@@ -121,6 +142,19 @@ def main():
     from s4g_tpu.pipeline.postprocessing import post_process_predictions
     from s4g_tpu.pipeline.collision import batch_view_non_collision
     from s4g_tpu.utils.math_utils import batch_transformation_inv
+
+    detail = {
+        "timing": "chained-dispatch slope (dispatch/tunnel cancels)",
+        "backend": jax.default_backend(),
+        # Active kernel routes after the compile probes — if a staged
+        # Pallas path failed to compile, the fallback is visible here
+        # rather than silently shaping the headline.
+        "fps_impl": _sampling_mod.resolved_fps_impl(),
+        "emit_rel": bool(_neighbors_mod._ENV_EMIT_REL),
+    }
+
+    def partial():
+        print("PARTIAL " + json.dumps(detail), flush=True)
 
     cfg = load_cfg_from_file("s4g_tpu/configs/curvature_model.yaml")
     net, _, _ = build_model(cfg)
@@ -145,6 +179,10 @@ def main():
 
     fwd = lambda p: net.apply(variables, {"scene_points": p}, train=False)
     fwd_t = slope_time(fwd, (pts[None],))
+    detail["model_forward_ms"] = round(fwd_t * 1000, 2)
+    detail["model_mfu_pct"] = round(
+        (MODEL_GMACS * 2e9 / fwd_t) / (V5E_PEAK_BF16_TFLOPS * 1e12) * 100, 1)
+    partial()
 
     # Fused detect pipeline: forward + post-process + collision (batch 1).
     def detect(p):
@@ -157,42 +195,80 @@ def main():
         return post.poses.sum() + post.scores.sum() + (post.valid & ok).sum()
 
     det_t = slope_time(detect, (pts,))
+    detail["detect_e2e_ms"] = round(det_t * 1000, 2)
+    partial()
 
     # Per-stage hot-op breakdown at deployment shapes (same slope method).
     c1 = jnp.take_along_axis(
         pts[None], farthest_point_sample(pts[None], 5120)[:, None, :]
         .repeat(3, 1), axis=2)
     fps_t = slope_time(lambda p: farthest_point_sample(p, 5120), (pts[None],))
+    detail["stage1_fps_ms"] = round(fps_t * 1000, 2)
     bq_t = slope_time(lambda p, c: ball_query(p, c, 0.02, 64),
                       (pts[None], c1))
+    detail["stage1_ball_query_ms"] = round(bq_t * 1000, 2)
     nn_t = slope_time(lambda q, k: three_nn(q, k), (pts[None], c1))
+    detail["stage1_three_nn_ms"] = round(nn_t * 1000, 2)
+    partial()
 
     scenes_per_sec = 1.0 / det_t
-    mfu = (MODEL_GMACS * 2e9 / fwd_t) / (V5E_PEAK_BF16_TFLOPS * 1e12)
     result = {
-        "metric": "scenes/sec/chip single-view grasp inference "
-                  "(e2e fwd+postproc+collision, 25600 pts, batch 1)",
+        "metric": METRIC,
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / REF_SCENES_PER_SEC, 3),
-        "detail": {
-            "model_forward_ms": round(fwd_t * 1000, 2),
-            "detect_e2e_ms": round(det_t * 1000, 2),
-            "stage1_fps_ms": round(fps_t * 1000, 2),
-            "stage1_ball_query_ms": round(bq_t * 1000, 2),
-            "stage1_three_nn_ms": round(nn_t * 1000, 2),
-            "model_mfu_pct": round(mfu * 100, 1),
-            "timing": "chained-dispatch slope (dispatch/tunnel cancels)",
-            "backend": jax.default_backend(),
-            # active kernel routes after the compile probes — if a staged
-            # Pallas path failed to compile, the fallback is visible here
-            # rather than silently shaping the headline.
-            "fps_impl": _sampling_mod._ENV_FPS_IMPL,
-            "emit_rel": bool(_neighbors_mod._ENV_EMIT_REL),
-        },
+        "detail": detail,
     }
-    print(json.dumps(result))
+    print("RESULT " + json.dumps(result), flush=True)
+
+
+def main():
+    """Supervisor: backend probe + deadline-bounded child measurement."""
+    from s4g_tpu.runtime import guard
+
+    probe_s = float(os.environ.get("S4G_BACKEND_PROBE_DEADLINE", 150))
+    ok, info = guard.backend_reachable(timeout_s=probe_s)
+    if not ok:
+        print(json.dumps(_error_result(f"backend unreachable: {info}")))
+        return
+
+    deadline = float(os.environ.get("S4G_BENCH_DEADLINE", 1500))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    last_partial, result, tail = None, None, []
+    t0 = time.monotonic()
+    try:
+        out, _ = proc.communicate(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            out, _ = proc.communicate(timeout=10)
+        except Exception:
+            out = ""
+    for line in (out or "").splitlines():
+        if line.startswith("PARTIAL "):
+            last_partial = json.loads(line[len("PARTIAL "):])
+        elif line.startswith("RESULT "):
+            result = json.loads(line[len("RESULT "):])
+        else:
+            tail.append(line)
+    elapsed = time.monotonic() - t0
+    if result is not None:
+        print(json.dumps(result))
+    elif proc.returncode is None or elapsed >= deadline:
+        print(json.dumps(_error_result(
+            f"bench child exceeded {deadline:.0f}s deadline "
+            f"(backend was reachable at start: {info})", last_partial)))
+    else:
+        print(json.dumps(_error_result(
+            f"bench child failed rc={proc.returncode}: "
+            + " | ".join(tail[-4:])[-400:], last_partial)))
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        _bench_child()
+    else:
+        main()

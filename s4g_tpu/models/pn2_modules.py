@@ -89,9 +89,10 @@ class PointNetSAModule(nn.Module):
     def __call__(self, xyz: Array, feature: Optional[Array],
                  train: bool = False,
                  sorted_axis: Optional[Array] = None) -> Tuple[Array, Array]:
-        """`sorted_axis`: traced scalar hint that `xyz` is sorted ascending
-        along that coordinate — enables the slab-pruned ball query
-        (ops/neighbors.py); results are identical to the full scan."""
+        """`sorted_axis`: traced scalar (or per-scene (B,) vector) hint
+        that `xyz` is sorted ascending along that coordinate — enables the
+        slab-pruned ball query (ops/neighbors.py); results are identical
+        to the full scan."""
         b = xyz.shape[0]
         if self.num_centroids == 0:
             # Global stage: one centroid at the origin, group = all points.
@@ -121,9 +122,9 @@ class PointNetSAModule(nn.Module):
                     # sharded FPS path emits ascending indices already
                     # (sort_local); the exact path re-sorts here (~0.14 ms
                     # at deployment scale).
-                    from ..ops.neighbors import flat_gather_rows
-                    keys = jax.lax.dynamic_index_in_dim(
-                        xyz, sorted_axis, axis=2, keepdims=False)  # (B, N)
+                    from ..ops.neighbors import _axis_keys, flat_gather_rows
+                    keys = _axis_keys(jnp.swapaxes(xyz, 1, 2),
+                                      jnp.asarray(sorted_axis, jnp.int32))
                     ckeys = flat_gather_rows(keys[..., None], index)[..., 0]
                     index = flat_gather_rows(
                         index[..., None],

@@ -78,15 +78,17 @@ class PointNet2Backbone(nn.Module):
                                                 keepdims=False)
                 order = jnp.argsort(keys).astype(jnp.int32)[None]   # (1, N)
             else:
-                # Batched serving: ONE shared sort axis (the slab machinery
-                # takes a single traced axis scalar for the whole batch) by
-                # the summed per-scene spread; each scene sorts its own
-                # points along it.
-                spread = jnp.sum(
-                    jnp.max(xyz, axis=1) - jnp.min(xyz, axis=1), axis=0)
-                sorted_axis = jnp.argmax(spread).astype(jnp.int32)
-                keys = lax.dynamic_index_in_dim(xyz, sorted_axis, axis=2,
-                                                keepdims=False)     # (B, N)
+                # Batched serving: each scene picks its OWN widest axis and
+                # sorts along it (sorted_axis is a per-scene (B,) vector —
+                # the slab machinery accepts both forms, see
+                # ops/neighbors.py::_axis_keys).  A shared batch axis would
+                # make a scene's neighbour selection depend on which other
+                # scenes are co-batched (ADVICE r3); per-scene axes keep
+                # detect_batch results identical to solo detect.
+                spread = jnp.max(xyz, axis=1) - jnp.min(xyz, axis=1)  # (B, 3)
+                sorted_axis = jnp.argmax(spread, axis=1).astype(jnp.int32)
+                keys = jnp.take_along_axis(
+                    xyz, sorted_axis[:, None, None], axis=2)[..., 0]  # (B, N)
                 order = jnp.argsort(keys, axis=1).astype(jnp.int32)
             from .pn2_modules import gather_cl
             xyz = gather_cl(xyz, order)

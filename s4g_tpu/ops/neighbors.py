@@ -32,14 +32,13 @@ from jax import lax
 
 Array = jax.Array
 
-# Behaviour env flags are read ONCE at import.  CAUTION: the BQ/3NN impl
-# flags below are consulted at TRACE time inside jitted bodies, and the
-# pjit cache keys only on shapes/statics — patching one of these module
-# attributes after a call with the same shapes has already traced will
-# silently reuse the stale route.  Patch BEFORE the first call (tests), or
-# use one process per variant (the measurement runbooks do).  _ENV_EMIT_REL
-# is exempt: ball_query_grouped resolves it in an unjitted wrapper and
-# threads it as a static argument.
+# Behaviour env flags are read ONCE at import as route DEFAULTS.  Every
+# public entry point resolves them in an UNJITTED wrapper and threads the
+# concrete route as a static argument of the jitted body (the `emit_impl`
+# pattern), so the pjit cache keys on the resolved route: flipping a
+# default (bench.py's compile-failure fallback, test monkeypatching)
+# retraces instead of silently reusing a stale route.  Flip defaults via
+# the set_default_* setters below.
 _ENV_BQ_SLAB_IMPL = os.environ.get("S4G_BQ_SLAB_IMPL", "pallas")
 _ENV_BQ_IMPL = os.environ.get("S4G_BQ_IMPL")
 _ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
@@ -49,6 +48,49 @@ _ENV_3NN_SLAB = os.environ.get("S4G_3NN_SLAB") == "1"
 # neighbour indices but computes rel via the model-side flat gather,
 # isolating the emission's contribution in solo benchmarks.
 _ENV_EMIT_REL = os.environ.get("S4G_EMIT_REL", "1") != "0"
+
+
+def set_default_bq_impl(impl: Optional[str]) -> None:
+    """Override the default ball-query route (None = backend auto)."""
+    global _ENV_BQ_IMPL
+    _ENV_BQ_IMPL = impl
+
+
+def set_default_3nn_impl(impl: Optional[str]) -> None:
+    """Override the default 3-NN route (None = backend auto)."""
+    global _ENV_3NN_IMPL
+    _ENV_3NN_IMPL = impl
+
+
+def set_emit_rel(enabled: bool) -> None:
+    """Default for ball_query_grouped's in-kernel rel-xyz emission."""
+    global _ENV_EMIT_REL
+    _ENV_EMIT_REL = bool(enabled)
+
+
+def _resolve_bq_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    if _ENV_BQ_IMPL:
+        return _ENV_BQ_IMPL
+    # Measured on v5e (stage 1, 5120x25600): the difference-form chunked
+    # XLA pass runs 1.61 ms vs 1.77 ms for the fused packed-mask kernel —
+    # XLA fuses the broadcast-subtract distances into the mask reduction
+    # well, so the kernel only pays off under an explicit override.
+    return "xla"
+
+
+def _resolve_slab_impl(slab_impl: Optional[str]) -> str:
+    """Resolve the sorted-slab route: "kernel" (compiled Pallas, TPU),
+    "interpret" (Pallas interpret mode — the scale tier pins the REAL
+    kernel on the CPU host this way), or "xla" (slab-pruned XLA twin)."""
+    if slab_impl is None:
+        slab_impl = _ENV_BQ_SLAB_IMPL
+    if slab_impl == "pallas_interpret":
+        return "interpret"
+    if slab_impl != "xla" and jax.default_backend() == "tpu":
+        return "kernel"
+    return "xla"
 
 
 def invert_permutation(perm: Array) -> Array:
@@ -185,13 +227,29 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     return idx.astype(jnp.int32), count
 
 
+def _axis_keys(arr: Array, sorted_axis: Array) -> Array:
+    """Extract the sort-key coordinate: (B, 3, N) -> (B, N).
+
+    `sorted_axis` is a traced int32 scalar (one axis shared by the batch)
+    or a (B,) vector (each scene sorted along its OWN axis — the batched
+    deployment path, so a scene's result never depends on which other
+    scenes are co-batched)."""
+    if sorted_axis.ndim == 0:
+        return lax.dynamic_index_in_dim(arr, sorted_axis, axis=1,
+                                        keepdims=False)
+    return jnp.take_along_axis(arr, sorted_axis[:, None, None], axis=1,
+                               mode="promise_in_bounds")[:, 0]
+
+
 def _ball_query_sorted_pruned(points: Array, centroids: Array,
                               radius2: float, num_neighbours: int,
                               chunk: int, sorted_axis: Array,
                               slab_capacity: int, emit_rel: bool = False,
-                              centroids_sorted: bool = False):
+                              centroids_sorted: bool = False,
+                              slab_route: str = "xla"):
     """Slab-pruned ball query for scenes whose points are sorted ascending
-    along coordinate `sorted_axis` (traced scalar, shared by the batch).
+    along coordinate `sorted_axis` (traced scalar shared by the batch, or
+    per-scene (B,) axes — see _axis_keys).
 
     Centroids are processed in sorted-axis order, in chunks; each chunk
     only scans the CONTIGUOUS slab of points whose axis value lies within
@@ -214,10 +272,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     radius = jnp.sqrt(jnp.float32(radius2))
     cap = slab_capacity
 
-    pkeys = lax.dynamic_index_in_dim(points, sorted_axis, axis=1,
-                                     keepdims=False)       # (B, N) ascending
-    ckeys = lax.dynamic_index_in_dim(centroids, sorted_axis, axis=1,
-                                     keepdims=False)       # (B, M)
+    pkeys = _axis_keys(points, sorted_axis)                # (B, N) ascending
+    ckeys = _axis_keys(centroids, sorted_axis)             # (B, M)
     if centroids_sorted:
         # Caller PROMISES the centroids are already ascending along
         # sorted_axis (true on every deployment path: sharded FPS emits
@@ -231,11 +287,7 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
         corder = jnp.argsort(ckeys, axis=1).astype(jnp.int32)  # (B, M)
         cent_s = jnp.swapaxes(
             flat_gather_rows(jnp.swapaxes(centroids, 1, 2), corder), 1, 2)
-        ckeys_s = lax.dynamic_index_in_dim(cent_s, sorted_axis, axis=1,
-                                           keepdims=False)     # (B, M)
-
-    use_kernel = (jax.default_backend() == "tpu"
-                  and _ENV_BQ_SLAB_IMPL != "xla")
+        ckeys_s = _axis_keys(cent_s, sorted_axis)               # (B, M)
 
     pad = (-m) % chunk
     num_chunks = (m + pad) // chunk
@@ -276,7 +328,7 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
         rel = jnp.where(cnt_sp[..., None, None] > 0, rel, 0.0)
         return jnp.transpose(rel, (0, 3, 2, 1))
 
-    if use_kernel:
+    if slab_route in ("kernel", "interpret"):
         # Fused Pallas slab kernel: per BQ_C_TILE-centroid tile, a
         # BQ_K_TILE-aligned window of BQ_SLAB_TILES key tiles (see
         # pallas/neighbor_kernels.py::ball_query_fused_slab_pallas).
@@ -306,7 +358,7 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
             radius_py = float(radius2) ** 0.5
             out_k = ball_query_fused_slab_pallas(
                 points, cent_s, lo_tile, radius_py, num_neighbours,
-                False, emit_rel)
+                slab_route == "interpret", emit_rel)
             i_k, c_k = out_k[0], out_k[1]
             pad_k = jnp.zeros((b, pad, num_neighbours), jnp.int32)
             i_p = jnp.concatenate([i_k, pad_k], axis=1)
@@ -381,11 +433,11 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     return idx, count
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8))
 def ball_query(points: Array, centroids: Array, radius: float,
                num_neighbours: int, chunk: int = 512, impl: str = "auto",
                sorted_axis: Optional[Array] = None,
-               slab_capacity: int = 6144, centroids_sorted: bool = False):
+               slab_capacity: int = 6144, centroids_sorted: bool = False,
+               slab_impl: Optional[str] = None):
     """Ball query with reference-CUDA semantics.
 
     Default path: a chunked difference-form XLA distance pass feeding a
@@ -413,10 +465,25 @@ def ball_query(points: Array, centroids: Array, radius: float,
         centroids_sorted: static promise that `centroids` are ALSO already
             ascending along sorted_axis (skips the pruned path's argsort +
             permute round-trip).
+        slab_impl: sorted-slab route override — "pallas" (compiled kernel,
+            TPU), "pallas_interpret" (the scale tier pins the real kernel
+            on CPU), "xla", or None (= S4G_BQ_SLAB_IMPL default).
 
     Returns:
         index: (B, M, K) int32, count: (B, M) int32.
     """
+    # Unjitted wrapper: routes resolve HERE and enter the jitted body as
+    # static arguments (see the module-flag comment at the top of the file).
+    return _ball_query_jit(points, centroids, radius, num_neighbours, chunk,
+                           _resolve_bq_impl(impl), sorted_axis, slab_capacity,
+                           centroids_sorted, _resolve_slab_impl(slab_impl))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8, 9))
+def _ball_query_jit(points: Array, centroids: Array, radius: float,
+                    num_neighbours: int, chunk: int, impl: str,
+                    sorted_axis: Optional[Array], slab_capacity: int,
+                    centroids_sorted: bool, slab_route: str):
     b, _, m = centroids.shape
     n = points.shape[2]
     radius2 = radius * radius
@@ -427,19 +494,8 @@ def ball_query(points: Array, centroids: Array, radius: float,
                                          num_neighbours, chunk,
                                          jnp.asarray(sorted_axis, jnp.int32),
                                          slab_capacity,
-                                         centroids_sorted=centroids_sorted)
-
-    if impl == "auto":
-        override = _ENV_BQ_IMPL
-        if override:
-            impl = override
-        else:
-            # Measured on v5e (stage 1, 5120x25600): the difference-form
-            # chunked XLA pass runs 1.61 ms vs 1.77 ms for the fused
-            # packed-mask kernel — XLA fuses the broadcast-subtract
-            # distances into the mask reduction well, so the kernel only
-            # pays off under an explicit override.
-            impl = "xla"
+                                         centroids_sorted=centroids_sorted,
+                                         slab_route=slab_route)
 
     if impl == "pallas":
         from .pallas.neighbor_kernels import ball_query_fused_pallas
@@ -491,7 +547,8 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
                        sorted_axis: Optional[Array] = None,
                        slab_capacity: int = 6144,
                        centroids_sorted: bool = False,
-                       emit_impl: Optional[bool] = None):
+                       emit_impl: Optional[bool] = None,
+                       slab_impl: Optional[str] = None):
     """Ball query that ALSO returns the grouped relative coordinates
     rel = points[index] - centroid, (B, M, K, 3) f32 — the SA-stage
     grouped-xyz input (reference grouping_kernel.cu:32-53 + modules.py:44).
@@ -516,15 +573,17 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
     return _ball_query_grouped_jit(points, centroids, radius,
                                    num_neighbours, chunk, sorted_axis,
                                    slab_capacity, centroids_sorted,
-                                   bool(emit_impl))
+                                   bool(emit_impl), _resolve_bq_impl("auto"),
+                                   _resolve_slab_impl(slab_impl))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8, 9, 10))
 def _ball_query_grouped_jit(points: Array, centroids: Array, radius: float,
                             num_neighbours: int, chunk: int,
                             sorted_axis: Optional[Array],
                             slab_capacity: int, centroids_sorted: bool,
-                            emit_impl: bool):
+                            emit_impl: bool, bq_impl: str,
+                            slab_route: str):
     b, _, m = centroids.shape
     n = points.shape[2]
     if sorted_axis is not None and n > slab_capacity and emit_impl:
@@ -532,11 +591,12 @@ def _ball_query_grouped_jit(points: Array, centroids: Array, radius: float,
                                          num_neighbours, chunk,
                                          jnp.asarray(sorted_axis, jnp.int32),
                                          slab_capacity, emit_rel=True,
-                                         centroids_sorted=centroids_sorted)
-    idx, count = ball_query(points, centroids, radius, num_neighbours,
-                            chunk=chunk, sorted_axis=sorted_axis,
-                            slab_capacity=slab_capacity,
-                            centroids_sorted=centroids_sorted)
+                                         centroids_sorted=centroids_sorted,
+                                         slab_route=slab_route)
+    idx, count = _ball_query_jit(points, centroids, radius, num_neighbours,
+                                 chunk, bq_impl, sorted_axis,
+                                 slab_capacity, centroids_sorted,
+                                 slab_route)
     g = flat_gather_rows(jnp.swapaxes(points, 1, 2).astype(jnp.float32),
                          idx.reshape(b, m * num_neighbours))
     rel = (g.reshape(b, m, num_neighbours, 3)
@@ -684,7 +744,6 @@ def _three_nn_sorted_slab(query_xyz: Array, key_xyz: Array,
     return lax.cond(num_fail <= cap_p, patch, full, operand=None)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
              chunk: int = 2048, impl: str = "auto",
              sorted_axis: Optional[Array] = None):
@@ -711,23 +770,22 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
         distance: (B, N1, 3) exact squared distances (difference form).
     """
     assert num_neighbors == 3, "reference kernel is hard-coded to K=3"
+    # Unjitted wrapper: resolve the route defaults HERE (static-arg
+    # pattern; see the module-flag comment at the top of the file).
     # The slab route is OFF by default: on real tabletop scenes ~7% of
     # queries fail the window verification (3-NN radii exceed the axis
     # margin where key density concentrates), the whole-call fallback
     # fires, and the slab attempt becomes pure overhead.  Kept behind
     # S4G_3NN_SLAB=1 as exact, tested groundwork (docs/perf_roadmap.md).
-    if sorted_axis is not None and query_xyz.shape[0] == 1 \
-            and _ENV_3NN_SLAB \
-            and query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 25) \
-            and key_xyz.shape[2] >= 4096 \
-            and jax.default_backend() == "tpu" and impl in ("auto", "pallas"):
-        idx = _three_nn_sorted_slab(query_xyz, key_xyz,
-                                    jnp.asarray(sorted_axis, jnp.int32))
-        return _exact_resort3(idx, query_xyz, key_xyz)
+    use_slab = (sorted_axis is not None and query_xyz.shape[0] == 1
+                and _ENV_3NN_SLAB
+                and query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 25)
+                and key_xyz.shape[2] >= 4096
+                and jax.default_backend() == "tpu"
+                and impl in ("auto", "pallas"))
     if impl == "auto":
-        override = _ENV_3NN_IMPL
-        if override:
-            impl = override
+        if _ENV_3NN_IMPL:
+            impl = _ENV_3NN_IMPL
         else:
             # The fused kernel wins when the (N1, N2) distance block is big
             # enough to be HBM-traffic-bound in XLA; small stages are faster
@@ -735,6 +793,17 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
             big = query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 22)
             impl = ("pallas" if jax.default_backend() == "tpu" and big
                     else "xla")
+    return _three_nn_jit(query_xyz, key_xyz, chunk, impl, use_slab,
+                         sorted_axis)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _three_nn_jit(query_xyz: Array, key_xyz: Array, chunk: int, impl: str,
+                  use_slab: bool, sorted_axis: Optional[Array]):
+    if use_slab:
+        idx = _three_nn_sorted_slab(query_xyz, key_xyz,
+                                    jnp.asarray(sorted_axis, jnp.int32))
+        return _exact_resort3(idx, query_xyz, key_xyz)
     if impl == "pallas":
         from .pallas.neighbor_kernels import three_nn_pallas
         idx, _ = three_nn_pallas(query_xyz, key_xyz)

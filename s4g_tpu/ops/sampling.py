@@ -35,11 +35,26 @@ Array = jax.Array
 
 _LANES = 128
 
-# Behaviour env vars are read ONCE at import: they are consulted at trace
-# time inside jitted code, so later mutations would silently miss the jit
-# cache anyway (see ADVICE round 2).
+# Behaviour env vars are read ONCE at import as route DEFAULTS; the public
+# wrapper resolves them before jit and threads the concrete impl as a
+# static argument (the static-arg pattern shared with ops.neighbors).
 _ENV_FPS_IMPL = os.environ.get("S4G_FPS_IMPL")
 _ENV_FPS_GROUP = int(os.environ.get("S4G_FPS_GROUP", "2"))
+
+
+def set_default_fps_impl(impl):
+    """Override the default FPS route (None = backend auto).  Read per-call
+    by the unjitted farthest_point_sample wrapper, so a flip (e.g. the
+    compile-failure fallback in bench.py / __graft_entry__) takes effect on
+    the next call — distinct impls are distinct pjit cache entries."""
+    global _ENV_FPS_IMPL
+    _ENV_FPS_IMPL = impl
+
+
+def resolved_fps_impl() -> str:
+    """The route 'auto' resolves to right now (for bench reporting)."""
+    return _ENV_FPS_IMPL or (
+        "pallas" if jax.default_backend() == "tpu" else "xla")
 
 
 def _fps_xla(points: Array, num_centroids: int) -> Array:
@@ -392,8 +407,7 @@ def farthest_point_sample(points: Array, num_centroids: int,
         (B, M) int32 centroid indices; index 0 is always first (exact path).
     """
     if impl == "auto":
-        impl = _ENV_FPS_IMPL or (
-            "pallas" if jax.default_backend() == "tpu" else "xla")
+        impl = resolved_fps_impl()
     return _farthest_point_sample_jit(points, num_centroids, impl,
                                       num_shards, sort_local)
 

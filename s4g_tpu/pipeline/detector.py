@@ -57,8 +57,8 @@ class GraspDetector:
         program (preprocess + forward + postproc + collision) on its local
         scenes with no cross-device communication, the throughput-scaling
         analog of the reference's nn.DataParallel serving
-        (grasp_detector.py:62-63).  Batch size must divide the mesh size.
-        detect() (batch 1) is unaffected."""
+        (grasp_detector.py:62-63).  detect_batch batches must be divisible
+        by the mesh size.  detect() (batch 1) is unaffected."""
         if model in _SUPPORTED_MODELS:
             cfg_path = os.path.join(_CONFIG_DIR, f"{model}.yaml")
         elif os.path.exists(model):
@@ -313,8 +313,8 @@ class GraspDetector:
         assert clouds.ndim == 3 and clouds.shape[2] == 3
         if self._mesh is not None:
             assert clouds.shape[0] % self._mesh.size == 0, (
-                f"batch {clouds.shape[0]} must divide the mesh size "
-                f"{self._mesh.size}")
+                f"batch {clouds.shape[0]} must be divisible by the mesh "
+                f"size {self._mesh.size}")
         padded, valids = zip(*(self._pad_cloud(c) for c in clouds))
         padded = jnp.stack(padded)
         valids = jnp.stack(valids)
@@ -386,7 +386,7 @@ class GraspDetector:
 
         for cloud in clouds:
             inflight.append(submit(cloud))
-            if len(inflight) > depth:
+            if len(inflight) >= depth:
                 yield self._materialize(inflight.popleft(), num_selected)
         while inflight:
             yield self._materialize(inflight.popleft(), num_selected)

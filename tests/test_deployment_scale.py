@@ -2,9 +2,12 @@
 
 The fast/slow tiers exercise the Pallas kernels at tiny shapes; these run
 the REAL serving shapes (25,600 points x 5,120 centroids, the bundled
-2638_view_0.p scene geometry) through the slab routes in interpret mode
-and demand bit-exact agreement with their reference routes.  ~10 minutes
-on the 1-CPU host, so they carry their own marker:
+2638_view_0.p scene geometry) through the slab routes with the Pallas
+kernels pinned via slab_impl="pallas_interpret" — the same kernels that
+run compiled on TPU (VERDICT r3 #5: the tier must fail if the kernel
+route silently degrades to the XLA twin), compared bit-exactly against
+the XLA reference routes.  A few minutes on the 1-CPU host, so the tier
+carries its own marker:
 
     python -m pytest tests/test_deployment_scale.py -m scale -q
 
@@ -40,15 +43,17 @@ def test_emit_rel_bit_exact_at_deployment_scale():
     cents = pts[:, ::5][:, :5120]
     q, c = jnp.asarray(pts[None]), jnp.asarray(cents[None])
 
-    # emit_impl is a STATIC argument of the jitted body (separate pjit
-    # cache entries) — flipping a module global would not retrace and the
-    # comparison would be the emit route against itself.
+    # emit_impl/slab_impl are STATIC arguments of the jitted body (separate
+    # pjit cache entries) — flipping a module global would not retrace and
+    # the comparison would be the emit route against itself.  Route a pins
+    # the REAL Pallas slab kernel (interpret mode on this CPU host — the
+    # same kernel that runs compiled on TPU); route b is the XLA twin.
     idx_a, cnt_a, rel_a = neighbors.ball_query_grouped(
         q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True,
-        emit_impl=True)
+        emit_impl=True, slab_impl="pallas_interpret")
     idx_b, cnt_b, rel_b = neighbors.ball_query_grouped(
         q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True,
-        emit_impl=False)
+        emit_impl=False, slab_impl="xla")
 
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
     np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
@@ -75,12 +80,16 @@ def test_batch_axis_slab_ball_query_matches_per_scene():
     cents = pts[:, :, ::5][:, :, :5120]
     pb, cb = jnp.asarray(pts), jnp.asarray(cents)
 
+    # Batch grid indexing of the REAL kernel (interpret): scene s of the
+    # batched call must equal its solo call bit-for-bit.
     ib, cntb, relb = neighbors.ball_query_grouped(
-        pb, cb, 0.02, 64, sorted_axis=0, centroids_sorted=True)
+        pb, cb, 0.02, 64, sorted_axis=0, centroids_sorted=True,
+        slab_impl="pallas_interpret")
     for s in range(2):
         i1, c1, r1 = neighbors.ball_query_grouped(
             pb[s:s + 1], cb[s:s + 1], 0.02, 64,
-            sorted_axis=0, centroids_sorted=True)
+            sorted_axis=0, centroids_sorted=True,
+            slab_impl="pallas_interpret")
         np.testing.assert_array_equal(np.asarray(ib[s:s + 1]),
                                       np.asarray(i1))
         np.testing.assert_array_equal(np.asarray(cntb[s:s + 1]),

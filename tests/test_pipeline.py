@@ -429,6 +429,12 @@ def test_detector_batched_sorted_deployment_path(tmp_path, rng):
     cloud = scene["point_cloud"].T.astype(np.float32)
     sel = np.random.RandomState(0).choice(len(cloud), (2, 2048), replace=True)
     clouds = cloud[sel]                       # (2, 2048, 3)
+    # Give scene 1 a DIFFERENT widest axis than scene 0 (roll coordinates):
+    # with per-scene sort axes, co-batching it must not perturb scene 0
+    # (the shared-batch-axis bug ADVICE r3 flagged).
+    clouds[1] = clouds[1][:, [2, 0, 1]]
+    spreads = clouds.max(axis=1) - clouds.min(axis=1)      # (2, 3)
+    assert np.argmax(spreads[0]) != np.argmax(spreads[1])
 
     det = GraspDetector(model=str(cfg_file), output_dir=str(tmp_path),
                         cloud_capacity=4096, num_candidates=32, seed=3)
