@@ -184,6 +184,184 @@ def make_cylinder(r: float = 0.025, h: float = 0.09, n: int = 24) -> Mesh:
     return v, np.array(f)
 
 
+def make_torus(ring_radius: float = 0.032, tube_radius: float = 0.012,
+               n_major: int = 24, n_minor: int = 12) -> Mesh:
+    """Watertight torus — genus-1 topology, curvature of both signs (the
+    inner ring is a saddle), a geometry class none of the other
+    procedural objects cover."""
+    th = np.linspace(0, 2 * np.pi, n_major, endpoint=False)
+    ph = np.linspace(0, 2 * np.pi, n_minor, endpoint=False)
+    th, ph = np.meshgrid(th, ph, indexing="ij")       # (maj, min)
+    rr = ring_radius + tube_radius * np.cos(ph)
+    v = np.stack([rr * np.cos(th), rr * np.sin(th),
+                  tube_radius * np.sin(ph)], -1).reshape(-1, 3)
+    f = []
+    for i in range(n_major):
+        i2 = (i + 1) % n_major
+        for j in range(n_minor):
+            j2 = (j + 1) % n_minor
+            a, b = i * n_minor + j, i2 * n_minor + j
+            c, d = i2 * n_minor + j2, i * n_minor + j2
+            f += [[a, b, c], [a, c, d]]
+    return v, np.array(f)
+
+
+def make_cone(r: float = 0.03, h: float = 0.075, n: int = 24) -> Mesh:
+    """Watertight capped cone — sloped curved surface tapering to a point."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    base = np.stack([r * np.cos(ang), r * np.sin(ang),
+                     np.zeros(n)], 1)
+    v = np.concatenate([base, [[0, 0, h]], [[0, 0, 0]]])
+    f = []
+    for i in range(n):
+        j = (i + 1) % n
+        f += [[i, j, n],            # side to apex
+              [n + 1, j, i]]        # base cap (down)
+    return v, np.array(f)
+
+
+def make_wedge(dx: float = 0.07, dy: float = 0.045, dz: float = 0.05) -> Mesh:
+    """Watertight triangular prism (door-stop wedge) — one sloped face."""
+    v = np.array([[0, 0, 0], [dx, 0, 0], [0, 0, dz],
+                  [0, dy, 0], [dx, dy, 0], [0, dy, dz]], float)
+    v -= v.mean(axis=0)
+    f = np.array([[0, 1, 2], [3, 5, 4],                    # triangle ends
+                  [0, 4, 1], [0, 3, 4],                    # bottom
+                  [0, 5, 3], [0, 2, 5],                    # back
+                  [1, 5, 2], [1, 4, 5]])                   # slope
+    return v, f
+
+
+def make_pyramid(base: float = 0.055, h: float = 0.07) -> Mesh:
+    """Watertight square pyramid — four sloped flat faces, sharp apex."""
+    s = base / 2
+    v = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0],
+                  [0, 0, h]], float)
+    f = np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4],
+                  [0, 3, 1], [1, 3, 2]])                   # base (down)
+    return v, f
+
+
+def make_ellipsoid(a: float = 0.045, b: float = 0.03, c: float = 0.022,
+                   subdiv: int = 2) -> Mesh:
+    """Watertight tri-axial ellipsoid — anisotropic curvature (egg-like)."""
+    v, f = make_icosphere(radius=1.0, subdiv=subdiv)
+    return v * np.array([a, b, c]), f
+
+
+def make_capsule(r: float = 0.018, h: float = 0.06, n: int = 20,
+                 rings: int = 5) -> Mesh:
+    """Watertight capsule (cylinder + hemispherical caps) — the classic
+    bottle/can-with-rounded-ends grasp geometry."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    cs = np.stack([np.cos(ang), np.sin(ang)], 1)
+    verts = [[0.0, 0.0, -h / 2 - r]]                       # bottom pole: 0
+    ring_rows = []
+    # bottom hemisphere rings (near-pole up to the cylinder joint) ...
+    for k in range(1, rings + 1):
+        phi = np.pi / 2 * (k / rings)                      # 0 -> pi/2
+        rr, zz = r * np.sin(phi), -h / 2 - r * np.cos(phi)
+        ring_rows.append(np.concatenate(
+            [rr * cs, np.full((n, 1), zz)], 1))
+    # ... then top hemisphere rings (joint up to near-pole); phi measured
+    # from the equator upward, pole vertex appended separately.
+    for k in range(rings):
+        phi = np.pi / 2 * (k / rings)
+        rr, zz = r * np.cos(phi), h / 2 + r * np.sin(phi)
+        ring_rows.append(np.concatenate(
+            [rr * cs, np.full((n, 1), zz)], 1))
+    base = 1
+    v = np.concatenate([verts, np.concatenate(ring_rows),
+                        [[0.0, 0.0, h / 2 + r]]])
+    top_pole = len(v) - 1
+    f = []
+    for i in range(n):                                     # bottom fan
+        j = (i + 1) % n
+        f.append([0, base + j, base + i])
+    nrows = len(ring_rows)
+    for row in range(nrows - 1):                           # band quads
+        r0, r1 = base + row * n, base + (row + 1) * n
+        for i in range(n):
+            j = (i + 1) % n
+            f += [[r0 + i, r0 + j, r1 + j], [r0 + i, r1 + j, r1 + i]]
+    last = base + (nrows - 1) * n
+    for i in range(n):                                     # top fan
+        j = (i + 1) % n
+        f.append([last + i, last + j, top_pole])
+    return v, np.array(f)
+
+
+def make_lshape(leg: float = 0.07, thickness: float = 0.025,
+                depth: float = 0.04) -> Mesh:
+    """Watertight extruded L-profile — CONCAVE cross-section (inside
+    corner), the geometry that separates first-K-scan grasp candidates
+    from convex objects."""
+    w = h = leg
+    t = thickness
+    # counter-clockwise L polygon; fan from vertex 0 stays inside the L
+    poly = np.array([[0, 0], [w, 0], [w, t], [t, t], [t, h], [0, h]], float)
+    m = len(poly)
+    bot = np.concatenate([poly, np.zeros((m, 1))], 1)
+    top = np.concatenate([poly, np.full((m, 1), depth)], 1)
+    v = np.concatenate([bot, top])
+    v -= v.mean(axis=0)
+    cap = [[0, 2, 1], [0, 3, 2], [0, 4, 3], [0, 5, 4]]     # z=0, down
+    f = list(cap)
+    f += [[m + a, m + b, m + c] for a, c, b in cap]        # z=depth, up
+    for i in range(m):                                     # side quads
+        j = (i + 1) % m
+        f += [[i, j, m + j], [i, m + j, m + i]]
+    return v, np.array(f)
+
+
+def make_cup(r_outer: float = 0.03, wall: float = 0.005, h: float = 0.065,
+             n: int = 24) -> Mesh:
+    """Watertight open-top cup (annular wall + bottom) — the only
+    procedural class with an interior cavity surface (rim grasps)."""
+    ri = r_outer - wall
+    zb = wall                                              # inner floor z
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    cs = np.stack([np.cos(ang), np.sin(ang)], 1)
+
+    ob = np.concatenate([r_outer * cs, np.zeros((n, 1))], 1)    # 0
+    ot = np.concatenate([r_outer * cs, np.full((n, 1), h)], 1)  # n
+    it = np.concatenate([ri * cs, np.full((n, 1), h)], 1)       # 2n
+    ib = np.concatenate([ri * cs, np.full((n, 1), zb)], 1)      # 3n
+    v = np.concatenate([ob, ot, it, ib,
+                        [[0, 0, 0]], [[0, 0, zb]]])
+    cb, ci = 4 * n, 4 * n + 1          # bottom center, inner-floor center
+    f = []
+    for i in range(n):
+        j = (i + 1) % n
+        f += [[i, j, n + j], [i, n + j, n + i]]            # outer wall (out)
+        f += [[n + i, n + j, 2 * n + j],
+              [n + i, 2 * n + j, 2 * n + i]]               # rim (up)
+        f += [[2 * n + i, 2 * n + j, 3 * n + j],
+              [2 * n + i, 3 * n + j, 3 * n + i]]           # inner wall (in)
+        f += [[ci, 3 * n + i, 3 * n + j]]                  # inner floor (up)
+        f += [[cb, j, i]]                                  # bottom (down)
+    return v, np.array(f)
+
+
+# Procedural object inventory: the datagen factory's stand-in for the
+# reference's 118-mesh YCB catalog (data_gen/configs/dataset_config.py:3-56)
+# when no assets are on disk — 11 distinct geometry classes spanning flat,
+# curved, tapered, saddle, concave, and cavity surfaces.
+PROCEDURAL_CLASSES = {
+    "icosphere": make_icosphere,
+    "box": make_box,
+    "cylinder": make_cylinder,
+    "torus": make_torus,
+    "cone": make_cone,
+    "wedge": make_wedge,
+    "pyramid": make_pyramid,
+    "ellipsoid": make_ellipsoid,
+    "capsule": make_capsule,
+    "lshape": make_lshape,
+    "cup": make_cup,
+}
+
+
 def vhacd_decompose(input_path: str, output_dir: str,
                     binary: str = "vhacd") -> list:
     """Convex decomposition via the V-HACD CLI (reference

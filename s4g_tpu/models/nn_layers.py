@@ -132,14 +132,19 @@ class SharedMLP(nn.Module):
         flat_rows = 1
         for d in x.shape[:-1]:
             flat_rows *= d
-        # Off by default: isolated microbenchmarks showed a 1.03 -> 0.63 ms
-        # win on the first pooled SA stage, but IN CONTEXT the full forward
-        # measures slower with any fusion scope (XLA fuses the gather /
-        # concat / Dense chain better than it feeds an opaque kernel).
-        # Kept selectable for other configs via ENV_MLP_FUSE_MIN_ROWS.
+        # Off by default: round-2 isolated microbenchmarks showed a
+        # 1.03 -> 0.63 ms win on the first pooled SA stage, but IN CONTEXT
+        # the full forward measured slower with any fusion scope (XLA fused
+        # the gather / concat / Dense chain better than it fed an opaque
+        # kernel).  That gather no longer exists on the stage-1 path
+        # (emit_rel), so the S4G_MLP_FUSE_MIN_ROWS=1 A/B is re-staged for
+        # the next TPU window — now covering NON-pooled chains too (FP
+        # stages, seg head: ~0.25 ms of inter-layer HBM traffic at
+        # deployment scale), not just the pooled SA stages.
         min_rows = ENV_MLP_FUSE_MIN_ROWS
-        eligible = (max_pool_k is not None and x.shape[-2] == max_pool_k
-                    and 2048 % max_pool_k == 0
+        pooled_ok = (max_pool_k is not None and x.shape[-2] == max_pool_k
+                     and 2048 % max_pool_k == 0)
+        eligible = ((pooled_ok or max_pool_k is None)
                     and (force or flat_rows >= min_rows))
         fusable = (not train and impl != "xla" and eligible
                    and (force or jax.default_backend() == "tpu"))

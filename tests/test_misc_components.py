@@ -47,8 +47,16 @@ class TestMeshTools:
         assert set(variants) == {0, 1, 2}
         np.testing.assert_allclose(variants[1], verts * 0.85)
 
+    def test_procedural_inventory_has_all_classes(self):
+        from s4g_tpu.datagen import mesh_tools
+        assert len(mesh_tools.PROCEDURAL_CLASSES) >= 10
+
     @pytest.mark.parametrize("maker", ["make_icosphere", "make_box",
-                                       "make_cylinder"])
+                                       "make_cylinder", "make_torus",
+                                       "make_cone", "make_wedge",
+                                       "make_pyramid", "make_ellipsoid",
+                                       "make_capsule", "make_lshape",
+                                       "make_cup"])
     def test_procedural_meshes_watertight(self, maker):
         from s4g_tpu.datagen import mesh_tools
         v, f = getattr(mesh_tools, maker)()

@@ -133,3 +133,45 @@ class TestLoaders:
         assert len(batches) == len(ds)
         for b in batches:
             assert np.isfinite(b["scene_points"]).all()
+
+
+class TestGuard:
+    """Infra guards for the driver artifacts (runtime/guard.py)."""
+
+    def test_scrubbed_cpu_env_overrides_platform(self, monkeypatch):
+        from s4g_tpu.runtime import guard
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+        monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+        monkeypatch.setenv(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=2 --foo=1")
+        env = guard.scrubbed_cpu_env(8)
+        assert env["JAX_PLATFORMS"] == "cpu"          # override, not setdefault
+        assert "PALLAS_AXON_POOL_IPS" not in env
+        assert "PALLAS_AXON_REMOTE_COMPILE" not in env
+        assert env["XLA_FLAGS"].count("device_count") == 1
+        assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+        assert "--foo=1" in env["XLA_FLAGS"]
+        assert os.environ["JAX_PLATFORMS"] == "axon"  # caller env untouched
+
+    def test_run_subprocess_deadline_kills_hang(self):
+        import time
+        from s4g_tpu.runtime import guard
+        t0 = time.monotonic()
+        rc, _ = guard.run_subprocess(
+            "import time; time.sleep(60)", timeout_s=2.0)
+        assert rc is None                              # deadline, not success
+        assert time.monotonic() - t0 < 20
+
+    def test_run_subprocess_captures_output(self):
+        from s4g_tpu.runtime import guard
+        rc, out = guard.run_subprocess("print('hi'); raise SystemExit(3)",
+                                       timeout_s=30.0)
+        assert rc == 3 and "hi" in out
+
+    def test_backend_reachable_reports_cpu(self):
+        from s4g_tpu.runtime import guard
+        # under the test env (CPU platform) the backend must be reachable
+        ok, info = guard.backend_reachable(timeout_s=120.0)
+        assert ok, info
+        assert "BACKEND_OK" in info

@@ -32,6 +32,73 @@ def box_mesh(hx, hy, hz):
     return corners.astype(np.float64), tris
 
 
+def build_procedural_catalog(out_dir):
+    """The 11-class procedural inventory x 3 scale variants as mesh-geom
+    ObjectSpecs (STLs written under out_dir/assets, loaded by MuJoCo; the
+    name#k scale convention matches the reference's scale_objects.py).
+    MuJoCo collides mesh geoms by convex hull — same approximation the
+    reference accepts pre-VHACD — while render/grading use the true mesh.
+    """
+    from s4g_tpu.datagen.mesh_tools import (PROCEDURAL_CLASSES, save_stl,
+                                            scale_variants)
+    from s4g_tpu.datagen.scene_sim import ObjectSpec
+
+    asset_dir = os.path.join(out_dir, "assets")
+    os.makedirs(asset_dir, exist_ok=True)
+    meshes, specs = {}, {}
+    for cls, maker in sorted(PROCEDURAL_CLASSES.items()):
+        verts, tris = maker()
+        for k, v_scaled in scale_variants(verts).items():
+            name = f"{cls}#{k}"
+            path = os.path.join(asset_dir, f"{cls}_{k}.stl")
+            if not os.path.exists(path):
+                save_stl(path, v_scaled, tris)
+            meshes[name] = (v_scaled, tris)
+            specs[name] = ObjectSpec(name=name, geom_type="mesh",
+                                     mesh_files=[path])
+    return meshes, specs
+
+
+def dataset_statistics(data_dir):
+    """Per-view label statistics over all merged pickles (the mesh-QA
+    metrics of tools/datagen_mesh_qa.py, aggregated): labeled grasp
+    points, search-score range, antipodal max — committed next to the
+    dataset so BASELINE.md can cite multi-class numbers."""
+    import pickle
+    views = []
+    for fname in sorted(os.listdir(data_dir)):
+        if not fname.endswith(".p"):
+            continue
+        with open(os.path.join(data_dir, fname), "rb") as f:
+            d = pickle.load(f)
+        search = np.asarray(d["search_score"])
+        anti = np.asarray(d.get("antipodal_score", np.zeros(0)))
+        views.append({
+            "view": fname,
+            "num_labeled_grasp_points": int(search.shape[0]),
+            "search_score_max": round(float(search.max()), 2)
+            if search.size else 0.0,
+            "frac_search_gt_50": round(float((search > 50).mean()), 4)
+            if search.size else 0.0,
+            "antipodal_max": round(float(anti.max()), 3)
+            if anti.size else None,
+        })
+    labeled = [v["num_labeled_grasp_points"] for v in views]
+    summary = {
+        "num_views": len(views),
+        "views_with_labels": int(sum(1 for n in labeled if n > 0)),
+        "labeled_points_mean": round(float(np.mean(labeled)), 1)
+        if labeled else 0.0,
+        "labeled_points_min": int(min(labeled)) if labeled else 0,
+        "labeled_points_max": int(max(labeled)) if labeled else 0,
+        "search_score_max": max((v["search_score_max"] for v in views),
+                                default=0.0),
+        "antipodal_max": max((v["antipodal_max"] or 0.0 for v in views),
+                             default=0.0),
+    }
+    return {"summary": summary, "views": views}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/s4g_scale")
@@ -53,6 +120,14 @@ def main():
                              "workers>1 pre-grades shared objects, which "
                              "re-rolls scene 0's render-noise draws vs a "
                              "cold sequential run)")
+    parser.add_argument("--object-set", choices=("box", "procedural"),
+                        default="box",
+                        help="'box': 4 box sizes (the round-2 run). "
+                             "'procedural': the full 11-class watertight "
+                             "inventory x 3 scale variants (33 objects, "
+                             "mesh geoms; the reference's 118-mesh YCB "
+                             "catalog analog, dataset_config.py:3-56) with "
+                             "4-6 objects sampled per scene")
     args = parser.parse_args()
 
     from s4g_tpu.configs.config import load_cfg_from_dict
@@ -61,12 +136,26 @@ def main():
     from s4g_tpu.train import SceneGraspDataset, Trainer
 
     os.makedirs(args.out, exist_ok=True)
-    sizes = [(0.030, 0.030, 0.030), (0.025, 0.025, 0.045),
-             (0.020, 0.035, 0.028), (0.033, 0.022, 0.040)]
-    meshes = {f"obj{i}": box_mesh(*s) for i, s in enumerate(sizes)}
-    specs = [ObjectSpec(name=f"obj{i}", geom_type="box",
-                        size=f"{s[0]} {s[1]} {s[2]}")
-             for i, s in enumerate(sizes)]
+    if args.object_set == "box":
+        sizes = [(0.030, 0.030, 0.030), (0.025, 0.025, 0.045),
+                 (0.020, 0.035, 0.028), (0.033, 0.022, 0.040)]
+        meshes = {f"obj{i}": box_mesh(*s) for i, s in enumerate(sizes)}
+        base_specs = {f"obj{i}": ObjectSpec(name=f"obj{i}", geom_type="box",
+                                            size=f"{s[0]} {s[1]} {s[2]}")
+                      for i, s in enumerate(sizes)}
+        specs_of = lambda sid: list(base_specs.values())
+    else:
+        meshes, base_specs = build_procedural_catalog(args.out)
+        names = sorted(meshes)
+
+        def specs_of(sid):
+            # Deterministic per-scene draw of 4-6 distinct objects; same
+            # convention as the reference's per-scene object sampling
+            # (generate_simulation.py).
+            r = np.random.RandomState(10_000 + sid)
+            k = int(r.randint(4, 7))
+            picked = r.choice(len(names), size=k, replace=False)
+            return [base_specs[names[i]] for i in picked]
 
     data_dir = os.path.join(args.out, "merged_data")
     val_root = os.path.join(args.out, "val")
@@ -78,19 +167,27 @@ def main():
                       workers=args.workers)
         # Per-scene seeds match the round-2 sequential driver exactly
         # (train: seed=scene_id; val: seed=9000+scene_id).
-        train_lists = generate_scenes(meshes, [specs] * args.scenes,
-                                      args.out, base_seed=0, **common)
+        train_lists = generate_scenes(
+            meshes, [specs_of(s) for s in range(args.scenes)],
+            args.out, base_seed=0, **common)
         for scene_id, merged in enumerate(train_lists):
             print(f"[datagen] scene {scene_id}: {len(merged)} views "
                   f"({time.time() - tic:.0f}s elapsed)", flush=True)
-        val_lists = generate_scenes(meshes, [specs] * args.val_scenes,
-                                    val_root, base_seed=9000, **common)
+        val_lists = generate_scenes(
+            meshes, [specs_of(5000 + s) for s in range(args.val_scenes)],
+            val_root, base_seed=9000, **common)
         for scene_id, merged in enumerate(val_lists):
             print(f"[datagen] val scene {scene_id}: {len(merged)} views",
                   flush=True)
         total = sum(len(m) for m in train_lists + val_lists)
         print(f"[datagen] {total} views in {time.time() - tic:.0f}s",
               flush=True)
+        stats = dataset_statistics(data_dir)
+        stats_path = os.path.join(args.out, "dataset_stats.json")
+        with open(stats_path, "w") as f:
+            json.dump(stats, f, indent=1)
+        print(f"[datagen] stats -> {stats_path}: "
+              + json.dumps(stats["summary"]), flush=True)
     if args.datagen_only:
         print("[datagen] done (--datagen-only), exiting before training",
               flush=True)
