@@ -156,6 +156,10 @@ def _bench_child():
     def partial():
         print("PARTIAL " + json.dumps(detail), flush=True)
 
+    # Emit the resolved routes BEFORE the first (longest) measurement so a
+    # hang there still surfaces which kernel routes were active.
+    partial()
+
     cfg = load_cfg_from_file("s4g_tpu/configs/curvature_model.yaml")
     net, _, _ = build_model(cfg)
     rng = np.random.RandomState(0)

@@ -29,6 +29,9 @@ from flax import linen as nn
 ENV_MLP_IMPL = os.environ.get("S4G_MLP_IMPL", "auto")
 ENV_MLP_FUSE_MIN_ROWS = int(os.environ.get("S4G_MLP_FUSE_MIN_ROWS",
                                            str(1 << 60)))
+# "all" | "pooled": which chains the fuse threshold applies to — lets the
+# A/B separate the pooled SA stages from the non-pooled FP/seg chains.
+ENV_MLP_FUSE_SCOPE = os.environ.get("S4G_MLP_FUSE_SCOPE", "all")
 ENV_CAST_ACTIVATIONS = os.environ.get("S4G_CAST_ACTIVATIONS") == "1"
 
 
@@ -144,7 +147,9 @@ class SharedMLP(nn.Module):
         min_rows = ENV_MLP_FUSE_MIN_ROWS
         pooled_ok = (max_pool_k is not None and x.shape[-2] == max_pool_k
                      and 2048 % max_pool_k == 0)
-        eligible = ((pooled_ok or max_pool_k is None)
+        unpooled_ok = (max_pool_k is None
+                       and (force or ENV_MLP_FUSE_SCOPE == "all"))
+        eligible = ((pooled_ok or unpooled_ok)
                     and (force or flat_rows >= min_rows))
         fusable = (not train and impl != "xla" and eligible
                    and (force or jax.default_backend() == "tpu"))

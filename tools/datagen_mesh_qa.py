@@ -126,6 +126,7 @@ def main():
                                  render_wh=(640, 480))
     assert merged, "no views produced"
 
+    from s4g_tpu.datagen.stats import per_view_stats
     stats = []
     for path in merged:
         with open(path, "rb") as f:
@@ -133,18 +134,10 @@ def main():
         cloud = np.asarray(d["point_cloud"])
         if cloud.shape[0] == 3 and cloud.shape[-1] != 3:
             cloud = cloud.T
-        search = np.asarray(d["search_score"])     # (C, L, T)
-        anti = np.asarray(d.get("antipodal_score", np.zeros(0)))
         stats.append({
             "view": os.path.basename(path),
             "num_points": int(cloud.shape[0]),
-            "num_labeled_grasp_points": int(search.shape[0]),
-            "search_score_max": round(float(search.max()), 2)
-            if search.size else 0,
-            "frac_search_gt_50": round(float((search > 50).mean()), 4)
-            if search.size else 0,
-            "antipodal_max": round(float(anti.max()), 3)
-            if anti.size else None,
+            **per_view_stats(d),
             "keys": sorted(d.keys()),
         })
     print("[merged] " + json.dumps(stats, indent=1), flush=True)

@@ -12,6 +12,12 @@ cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/r3_measure}
 mkdir -p "$OUT"
 
+# bench.py runs under its own supervisor (round 4): keep probe + child
+# deadlines inside the 900 s per-step timeout so a hung tunnel yields the
+# structured JSON error line, never an outer rc-124 kill (120 + 650 < 900).
+export S4G_BACKEND_PROBE_DEADLINE=${S4G_BACKEND_PROBE_DEADLINE:-120}
+export S4G_BENCH_DEADLINE=${S4G_BENCH_DEADLINE:-650}
+
 step() {  # step <name> <timeout-s> <cmd...>
     local name=$1 tmo=$2; shift 2
     echo "=== $name: $* ===" | tee -a "$OUT/summary.log"
@@ -32,6 +38,7 @@ step bench          900 python bench.py
 step bench_noemit   900 env S4G_EMIT_REL=0 python bench.py
 step bench_3nnslab  900 env S4G_3NN_SLAB=1 python bench.py
 step bench_mlpfuse  900 env S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
+step bench_mlpfuse_pooled 900 env S4G_MLP_FUSE_MIN_ROWS=1 S4G_MLP_FUSE_SCOPE=pooled python bench.py
 step bench_both     900 env S4G_3NN_SLAB=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 # Attribution + batch points.
 step trace_fwd      900 python tools/trace_forward.py --json "$OUT/trace_fwd.json"

@@ -18,8 +18,17 @@ if [ ! -d "$OUT/merged_data" ]; then
         --datagen-only || exit 1
 fi
 # 600 steps (as r3 planned): the parity-at-speed instrument needs a
-# less-flat score field to stabilize top-K rankings.
+# less-flat score field to stabilize top-K rankings.  Remove any STALE
+# summary first so a failed run can never be mistaken for this round's
+# evidence, and propagate the failure (tee/tail would swallow the rc).
+rm -f "$OUT/scale_run.json"
+set -o pipefail
 timeout 3600 python tools/train_at_scale.py --out "$OUT" --skip-datagen \
     --object-set procedural --scenes 52 --val-scenes 4 --views 4 \
     --steps "${STEPS:-600}" --batch 4 2>&1 | tee "$OUT/train_log.txt" | tail -30
+rc=$?
+if [ $rc -ne 0 ] || [ ! -f "$OUT/scale_run.json" ]; then
+    echo "AT-SCALE RUN FAILED (rc=$rc, scale_run.json missing)"
+    exit 1
+fi
 echo "summary -> $OUT/scale_run.json ; stats -> $OUT/dataset_stats.json"

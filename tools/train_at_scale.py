@@ -59,46 +59,6 @@ def build_procedural_catalog(out_dir):
     return meshes, specs
 
 
-def dataset_statistics(data_dir):
-    """Per-view label statistics over all merged pickles (the mesh-QA
-    metrics of tools/datagen_mesh_qa.py, aggregated): labeled grasp
-    points, search-score range, antipodal max — committed next to the
-    dataset so BASELINE.md can cite multi-class numbers."""
-    import pickle
-    views = []
-    for fname in sorted(os.listdir(data_dir)):
-        if not fname.endswith(".p"):
-            continue
-        with open(os.path.join(data_dir, fname), "rb") as f:
-            d = pickle.load(f)
-        search = np.asarray(d["search_score"])
-        anti = np.asarray(d.get("antipodal_score", np.zeros(0)))
-        views.append({
-            "view": fname,
-            "num_labeled_grasp_points": int(search.shape[0]),
-            "search_score_max": round(float(search.max()), 2)
-            if search.size else 0.0,
-            "frac_search_gt_50": round(float((search > 50).mean()), 4)
-            if search.size else 0.0,
-            "antipodal_max": round(float(anti.max()), 3)
-            if anti.size else None,
-        })
-    labeled = [v["num_labeled_grasp_points"] for v in views]
-    summary = {
-        "num_views": len(views),
-        "views_with_labels": int(sum(1 for n in labeled if n > 0)),
-        "labeled_points_mean": round(float(np.mean(labeled)), 1)
-        if labeled else 0.0,
-        "labeled_points_min": int(min(labeled)) if labeled else 0,
-        "labeled_points_max": int(max(labeled)) if labeled else 0,
-        "search_score_max": max((v["search_score_max"] for v in views),
-                                default=0.0),
-        "antipodal_max": max((v["antipodal_max"] or 0.0 for v in views),
-                             default=0.0),
-    }
-    return {"summary": summary, "views": views}
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/s4g_scale")
@@ -182,6 +142,7 @@ def main():
         total = sum(len(m) for m in train_lists + val_lists)
         print(f"[datagen] {total} views in {time.time() - tic:.0f}s",
               flush=True)
+        from s4g_tpu.datagen.stats import dataset_statistics
         stats = dataset_statistics(data_dir)
         stats_path = os.path.join(args.out, "dataset_stats.json")
         with open(stats_path, "w") as f:
@@ -278,7 +239,8 @@ def main():
     from s4g_tpu.pipeline.preprocessing import preprocess_cloud
     from s4g_tpu.utils.math_utils import batch_transformation_inv
 
-    env = TableEnv(specs, percentage=1.1, random_seed=777)
+    qa_specs = specs_of(777)               # held-out QA scene's object draw
+    env = TableEnv(qa_specs, percentage=1.1, random_seed=777)
     pose_dict = env.run()
     views = render_scene_views({n: meshes[n] for n in pose_dict}, pose_dict,
                                table_mesh=table_mesh(),
