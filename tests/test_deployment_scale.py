@@ -74,6 +74,24 @@ def test_slab_three_nn_bit_identical_to_full_pallas():
     np.testing.assert_array_equal(np.asarray(idx_slab), np.asarray(idx_full))
 
 
+def test_lane_sharded_fps_exact_at_deployment_scale():
+    """The deployment FPS route (128 lane-parallel chains, FPS_SHARDS=128)
+    at the real serving shape (25,600 -> 5,120), interpret mode, vs the
+    sharded XLA oracle — exact per shard, bit-identical indices."""
+    from s4g_tpu.ops.sampling import farthest_point_sample
+
+    rng = np.random.RandomState(0)
+    pts = _scene_sorted(rng)
+    p = jnp.asarray(pts[None])
+    got = np.asarray(farthest_point_sample(
+        p, 5120, impl="pallas_interpret", num_shards=128, sort_local=True))
+    want = np.asarray(farthest_point_sample(
+        p, 5120, impl="xla", num_shards=128, sort_local=True))
+    np.testing.assert_array_equal(got, want)
+    # sorted input + sort_local => globally ascending centroid indices
+    assert (np.diff(got[0]) > 0).all()
+
+
 def test_batch_axis_slab_ball_query_matches_per_scene():
     rng = np.random.RandomState(0)
     pts = np.stack([_scene_sorted(rng, shift=0.003 * s) for s in range(2)])
