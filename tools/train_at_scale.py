@@ -161,10 +161,14 @@ def main():
     epochs = max(1, (args.steps + steps_per_epoch - 1) // steps_per_epoch)
 
     # Deployment geometry: released curvature_model.yaml architecture.
+    # Centroid counts follow the input size (25,600 -> 5120/1024/256
+    # exactly), so CPU rehearsals with a smaller --num-points keep the
+    # same N:M pyramid instead of running more centroids than points.
+    np_in = args.num_points
     cfg = load_cfg_from_dict({
         "MODEL": {"TYPE": "PN2_CLS", "PN2": {
-            "NUM_INPUT": args.num_points,
-            "NUM_CENTROIDS": (5120, 1024, 256),
+            "NUM_INPUT": np_in,
+            "NUM_CENTROIDS": (np_in // 5, np_in // 25, np_in // 100),
             "RADIUS": (0.02, 0.08, 0.32),
             "NUM_NEIGHBOURS": (64, 64, 64),
             "SA_CHANNELS": ((128, 128, 256), (256, 256, 512),
