@@ -182,7 +182,10 @@ def main():
         "SOLVER": {"TYPE": "Adam", "BASE_LR": 0.001},
         "SCHEDULER": {"MAX_EPOCH": epochs, "TYPE": "StepLR",
                       "StepLR": {"step_size": 4000, "gamma": 0.5}},
-        "TRAIN": {"BATCH_SIZE": args.batch, "LOG_PERIOD": 2,
+        # LOG_PERIOD is also the scalar-materialization period, i.e. the
+        # dispatch pipeline depth over the tunnel (train/trainer.py) — 10
+        # keeps the device ~10 steps ahead of the blocking host read.
+        "TRAIN": {"BATCH_SIZE": args.batch, "LOG_PERIOD": 10,
                   "CHECKPOINT_PERIOD": 10000, "VAL_PERIOD": 25,
                   "AUGMENTATION": ("PointCloudRotate",)},
     })
