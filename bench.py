@@ -226,6 +226,50 @@ def _bench_child():
     print("RESULT " + json.dumps(result), flush=True)
 
 
+def _measure_batch_points(result, deadline_each):
+    """Batch serving points, ONE child process per batch size (one-process
+    multi-variant slope A/Bs measured impossible numbers in round 2 —
+    BASELINE.md methodology).  Reported in detail as the best-batch serving
+    throughput alongside the batch-1 headline (VERDICT r3 #3)."""
+    points = os.environ.get("S4G_BENCH_BATCH_POINTS", "8")
+    if not points.strip():
+        return
+    # A/B variant runs (kernel-route env overrides active) measure only the
+    # batch-1 points: the batch sweep belongs to the default-config bench.
+    if any(k in os.environ for k in (
+            "S4G_EMIT_REL", "S4G_3NN_SLAB", "S4G_MLP_FUSE_MIN_ROWS",
+            "S4G_MLP_FUSE_SCOPE", "S4G_MLP_IMPL", "S4G_FPS_IMPL",
+            "S4G_FPS_GROUP", "S4G_BQ_IMPL", "S4G_BQ_SLAB_IMPL",
+            "S4G_3NN_IMPL", "S4G_CAST_ACTIVATIONS")):
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    batches = {}
+    for b in points.split(","):
+        b = b.strip()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "measure_batch.py"),
+                 b],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=here, timeout=deadline_each)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+            batches[int(b)] = {
+                "e2e_ms_per_scene": rec["e2e_ms_per_scene"],
+                "scenes_per_sec": rec["scenes_per_sec"],
+            }
+        except Exception:
+            continue
+    if not batches:
+        return
+    result.setdefault("detail", {})["batch_points"] = batches
+    best_b = max(batches, key=lambda b: batches[b]["scenes_per_sec"])
+    best = batches[best_b]["scenes_per_sec"]
+    result["detail"]["best_batch"] = best_b
+    result["detail"]["best_batch_scenes_per_sec"] = best
+
+
 def main():
     """Supervisor: backend probe + deadline-bounded child measurement."""
     from s4g_tpu.runtime import guard
@@ -260,6 +304,10 @@ def main():
             tail.append(line)
     elapsed = time.monotonic() - t0
     if result is not None:
+        remaining = deadline - elapsed
+        if remaining > 240:
+            _measure_batch_points(
+                result, deadline_each=min(remaining - 60, 900))
         print(json.dumps(result))
     elif proc.returncode is None or elapsed >= deadline:
         print(json.dumps(_error_result(
