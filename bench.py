@@ -274,6 +274,10 @@ def main():
     """Supervisor: backend probe + deadline-bounded child measurement."""
     from s4g_tpu.runtime import guard
 
+    # Persistent XLA cache BEFORE any child spawns: the driver runs this
+    # file bare on a possibly-cold host, and cold tunnel compiles are the
+    # main way a bounded deadline turns into a structured-failure line.
+    guard.enable_persistent_cache()
     probe_s = float(os.environ.get("S4G_BACKEND_PROBE_DEADLINE", 150))
     ok, info = guard.backend_reachable(timeout_s=probe_s)
     if not ok:

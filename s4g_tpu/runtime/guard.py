@@ -118,3 +118,23 @@ def pallas_fps_compiles(timeout_s: float = 300.0) -> bool:
         "print('PALLAS_OK')\n",
         timeout_s)
     return rc == 0
+
+
+def enable_persistent_cache(path: str = "/root/.jax_cache") -> None:
+    """Point JAX's persistent compilation cache at ``path`` via env vars
+    (inherited by every probe/measurement child this module spawns).
+
+    The driver invokes ``bench.py`` / ``__graft_entry__.entry()`` bare — no
+    runbook wrapper sets the cache — and a recycled host arrives cold:
+    tunnel compiles then run minutes per program (116 s measured for a
+    trivial matmul vs 27 s cached), which is exactly how a bounded bench
+    deadline turns into a structured-failure line. Defaults only: an
+    explicit JAX_COMPILATION_CACHE_DIR always wins.
+    """
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    try:
+        os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    except OSError:
+        os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
