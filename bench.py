@@ -291,21 +291,37 @@ def main():
         cwd=os.path.dirname(os.path.abspath(__file__)))
     last_partial, result, tail = None, None, []
     t0 = time.monotonic()
-    try:
-        out, _ = proc.communicate(timeout=deadline)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        try:
-            out, _ = proc.communicate(timeout=10)
-        except Exception:
-            out = ""
-    for line in (out or "").splitlines():
+    # Stream the child line-by-line (communicate() would buffer everything
+    # until exit, hiding PARTIAL progress from logs and losing it entirely
+    # if an outer `timeout` kills this supervisor mid-run).
+    import threading
+
+    def _pump():
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            nonlocal_state(line)
+
+    def nonlocal_state(line):
+        nonlocal last_partial, result
         if line.startswith("PARTIAL "):
             last_partial = json.loads(line[len("PARTIAL "):])
+            print(line, file=sys.stderr, flush=True)
         elif line.startswith("RESULT "):
             result = json.loads(line[len("RESULT "):])
         else:
             tail.append(line)
+
+    pump = threading.Thread(target=_pump, daemon=True)
+    pump.start()
+    try:
+        proc.wait(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except Exception:
+            pass
+    pump.join(timeout=10)
     elapsed = time.monotonic() - t0
     if result is not None:
         remaining = deadline - elapsed
