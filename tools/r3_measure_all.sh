@@ -30,13 +30,18 @@ export S4G_BACKEND_PROBE_DEADLINE=${S4G_BACKEND_PROBE_DEADLINE:-120}
 export S4G_BENCH_DEADLINE=${S4G_BENCH_DEADLINE:-2400}
 STEP_TMO=${STEP_TMO:-2700}
 
-step() {  # step <name> <timeout-s> <cmd...>
+step() {  # step <name> <timeout-s> <cmd...>  (resumable: skips on $name.ok)
     local name=$1 tmo=$2; shift 2
+    if [ -f "$OUT/$name.ok" ]; then
+        echo "=== $name: SKIP (already done) ===" | tee -a "$OUT/summary.log"
+        return
+    fi
     echo "=== $name: $* ===" | tee -a "$OUT/summary.log"
     timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
     local rc=$?
     tail -3 "$OUT/$name.log" | tee -a "$OUT/summary.log"
     echo "--- $name exit=$rc" | tee -a "$OUT/summary.log"
+    [ $rc -eq 0 ] && touch "$OUT/$name.ok"
 }
 
 # DECISION-CRITICAL FIRST (a short tunnel window should still adjudicate
