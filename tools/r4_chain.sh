@@ -24,6 +24,11 @@ while ! grep -q "ALL DONE" "$OUT/summary.log" 2>/dev/null; do
 done
 echo "[chain] matrix done"
 
+# Round-4 extra A/Bs (bf16 activation cast + combinations + parity under
+# the cast) — runs while the chip is still solo, before the at-scale
+# train grabs it.  Resumable like the matrix (.ok markers in $OUT).
+bash tools/r4_extra.sh "$OUT"
+
 echo "[chain] waiting for dataset at $DATA/merged_data"
 while kill -0 "$(cat "$DATAGEN_PID_FILE" 2>/dev/null)" 2>/dev/null; do
     sleep 60

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 EXTRA A/Bs, run right after the r3 measurement matrix (the chain
+# invokes this between the matrix and the at-scale run, so the chip stays
+# solo).  Focus: the ~1.9 ms MLP/pool/head floor is HBM-bound between
+# layers — S4G_CAST_ACTIVATIONS=1 keeps inter-layer activations bf16
+# (halves that traffic) and was never in the r3 matrix.  Parity under the
+# cast is measured too: a perf default is only adopted if the functional
+# overlap stays at the self-noise floor (BASELINE.md parity discipline).
+#
+#   bash tools/r4_extra.sh [outdir]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/r4_measure}
+mkdir -p "$OUT"
+
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/.jax_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+export S4G_BACKEND_PROBE_DEADLINE=${S4G_BACKEND_PROBE_DEADLINE:-120}
+export S4G_BENCH_DEADLINE=${S4G_BENCH_DEADLINE:-2400}
+STEP_TMO=${STEP_TMO:-2700}
+
+step() {  # step <name> <timeout-s> <cmd...>  (resumable: skips on $name.ok)
+    local name=$1 tmo=$2; shift 2
+    if [ -f "$OUT/$name.ok" ]; then
+        echo "=== $name: SKIP (already done) ===" | tee -a "$OUT/summary.log"
+        return
+    fi
+    echo "=== $name: $* ===" | tee -a "$OUT/summary.log"
+    timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+    local rc=$?
+    tail -3 "$OUT/$name.log" | tee -a "$OUT/summary.log"
+    echo "--- $name exit=$rc" | tee -a "$OUT/summary.log"
+    [ $rc -eq 0 ] && touch "$OUT/$name.ok"
+}
+
+step bench_cast      $STEP_TMO env S4G_CAST_ACTIVATIONS=1 python bench.py
+step bench_cast_fuse $STEP_TMO env S4G_CAST_ACTIVATIONS=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
+step bench_all       $STEP_TMO env S4G_CAST_ACTIVATIONS=1 S4G_MLP_FUSE_MIN_ROWS=1 S4G_3NN_SLAB=1 python bench.py
+# Parity under the cast: same checkpoint convention as the matrix steps.
+CKPT=""
+[ -d /tmp/s4g_scale/train_out ] && CKPT=/tmp/s4g_scale/train_out
+step parity_cast $STEP_TMO env S4G_CAST_ACTIVATIONS=1 python tools/parity_at_speed.py compare $CKPT
+echo "EXTRA DONE -> $OUT" | tee -a "$OUT/summary.log"
