@@ -257,3 +257,34 @@ def test_sorted_batched_forward_matches_single(rng):
             np.testing.assert_allclose(
                 np.asarray(out_b[key])[i], np.asarray(out_1[key])[0],
                 atol=1e-5, err_msg=f"scene {i} {key}")
+
+
+def test_cast_activations_close_to_f32_activations(rng, monkeypatch):
+    """S4G_CAST_ACTIVATIONS=1 keeps inter-layer activations bf16 when the
+    backbone computes in bf16 (BatchNorm emits f32 otherwise, doubling the
+    HBM traffic of every SA/FP stage).  The cast is a perf default
+    candidate (round-4 A/B), so pin its numerics: outputs must stay within
+    bf16-roundoff distance of the default mixed path on the same params."""
+    from s4g_tpu.models import nn_layers
+
+    cfg = load_cfg_from_dict({
+        "MODEL": {"TYPE": "PN2_CLS", "PN2": dict(TINY_PN2),
+                  "COMPUTE_DTYPE": "bfloat16"},
+        "DATA": {"SCORE_CLASSES": 3},
+    })
+    net, _, _ = build_model(cfg)
+    pts = jnp.asarray(rng.randn(1, 3, N).astype(np.float32))
+    variables = net.init(jax.random.key(0), {"scene_points": pts},
+                         train=False)
+
+    monkeypatch.setattr(nn_layers, "ENV_CAST_ACTIVATIONS", False)
+    ref = net.apply(variables, {"scene_points": pts}, train=False)
+    monkeypatch.setattr(nn_layers, "ENV_CAST_ACTIVATIONS", True)
+    cast = net.apply(variables, {"scene_points": pts}, train=False)
+
+    # frame_R is post-Gram-Schmidt (normalized); score/movable are logits.
+    for key, tol in (("score", 0.05), ("frame_R", 0.02), ("frame_t", 0.05),
+                     ("movable_logits", 0.05)):
+        np.testing.assert_allclose(np.asarray(ref[key], np.float32),
+                                   np.asarray(cast[key], np.float32),
+                                   atol=tol, err_msg=key)
