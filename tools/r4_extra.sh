@@ -19,6 +19,11 @@ export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 export S4G_BACKEND_PROBE_DEADLINE=${S4G_BACKEND_PROBE_DEADLINE:-120}
 export S4G_BENCH_DEADLINE=${S4G_BENCH_DEADLINE:-2400}
+# The matrix's default bench reported emit_rel:false — the deadline-bounded
+# compile probe failed.  Raise the probe budget here (a cold remote-Mosaic
+# compile of the big emit kernel can exceed the 420 s default) and capture
+# the probe's actual traceback first so a real kernel failure is visible.
+export S4G_PALLAS_PROBE_DEADLINE=${S4G_PALLAS_PROBE_DEADLINE:-1200}
 STEP_TMO=${STEP_TMO:-2700}
 
 step() {  # step <name> <timeout-s> <cmd...>  (resumable: skips on $name.ok)
@@ -35,6 +40,22 @@ step() {  # step <name> <timeout-s> <cmd...>  (resumable: skips on $name.ok)
     [ $rc -eq 0 ] && touch "$OUT/$name.ok"
 }
 
+# Emit-probe diagnosis: the exact snippet _select_routes() probes, run in
+# the foreground so the traceback (or success) lands in the log.
+step diag_emit $STEP_TMO python -c "
+import jax, jax.numpy as jnp, numpy as np
+from s4g_tpu.ops import neighbors
+keys = jnp.linspace(0.0, 1.0, 25600, dtype=jnp.float32)
+pts = jnp.stack([keys, keys * 0.5, keys * 0.25])[None]
+cents = pts[:, :, ::5]
+idx, cnt, rel = neighbors.ball_query_grouped(
+    pts, cents, 0.02, 64, sorted_axis=0, centroids_sorted=True)
+print('emit ok', float(np.asarray(rel.sum())) + float(np.asarray(idx.sum())))
+"
+# Re-run the default-config bench under the raised probe deadline: if the
+# emit probe now passes, this is the real emit_rel-on headline the matrix
+# missed (bench.ok exists, so the name must differ).
+step bench_emit_retry $STEP_TMO python bench.py
 step bench_cast      $STEP_TMO env S4G_CAST_ACTIVATIONS=1 python bench.py
 step bench_cast_fuse $STEP_TMO env S4G_CAST_ACTIVATIONS=1 S4G_MLP_FUSE_MIN_ROWS=1 python bench.py
 step bench_all       $STEP_TMO env S4G_CAST_ACTIVATIONS=1 S4G_MLP_FUSE_MIN_ROWS=1 S4G_3NN_SLAB=1 python bench.py
