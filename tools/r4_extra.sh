@@ -63,4 +63,24 @@ step bench_all       $STEP_TMO env S4G_CAST_ACTIVATIONS=1 S4G_MLP_FUSE_MIN_ROWS=
 CKPT=""
 [ -d /tmp/s4g_scale/train_out ] && CKPT=/tmp/s4g_scale/train_out
 step parity_cast $STEP_TMO env S4G_CAST_ACTIVATIONS=1 python tools/parity_at_speed.py compare $CKPT
+# Retry matrix steps that "completed" with a structured-failure line: the
+# bench supervisor exits 0 by driver contract even when the child dies
+# (e.g. a transient tunnel FailedPrecondition), so the .ok marker can pin
+# a null result.  Drop those markers and resume the matrix once under the
+# raised probe deadline.
+RETRY=0
+for okf in "$OUT"/*.ok; do
+    name=$(basename "$okf" .ok)
+    log="$OUT/$name.log"
+    [ -f "$log" ] || continue
+    if tail -1 "$log" | grep -q '"value": null'; then
+        echo "[extra] $name ended with value:null — retrying" \
+            | tee -a "$OUT/summary.log"
+        rm -f "$okf"
+        RETRY=1
+    fi
+done
+if [ "$RETRY" = 1 ]; then
+    bash tools/r3_measure_all.sh "$OUT"
+fi
 echo "EXTRA DONE -> $OUT" | tee -a "$OUT/summary.log"
