@@ -231,7 +231,7 @@ def _measure_batch_points(result, deadline_each):
     multi-variant slope A/Bs measured impossible numbers in round 2 —
     BASELINE.md methodology).  Reported in detail as the best-batch serving
     throughput alongside the batch-1 headline (VERDICT r3 #3)."""
-    points = os.environ.get("S4G_BENCH_BATCH_POINTS", "8")
+    points = os.environ.get("S4G_BENCH_BATCH_POINTS", "2")
     if not points.strip():
         return
     # A/B variant runs (kernel-route env overrides active) measure only the

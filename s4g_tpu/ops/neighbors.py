@@ -43,11 +43,12 @@ _ENV_BQ_SLAB_IMPL = os.environ.get("S4G_BQ_SLAB_IMPL", "pallas")
 _ENV_BQ_IMPL = os.environ.get("S4G_BQ_IMPL")
 _ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
 _ENV_3NN_SLAB = os.environ.get("S4G_3NN_SLAB") == "1"
-# A/B gate for the in-kernel grouped rel-xyz emission (default ON): with
-# S4G_EMIT_REL=0, ball_query_grouped still uses the slab kernel for the
-# neighbour indices but computes rel via the model-side flat gather,
-# isolating the emission's contribution in solo benchmarks.
-_ENV_EMIT_REL = os.environ.get("S4G_EMIT_REL", "1") != "0"
+# A/B gate for the in-kernel grouped rel-xyz emission.  Default OFF: the
+# round-4 solo window measured the emission a net LOSS at deployment scale
+# (164.4 scenes/s vs 168.6-171.5 with the flat-gather route — the XLA
+# gather it was built to replace no longer dominates after the round-3
+# restructuring).  S4G_EMIT_REL=1 re-enables it for re-measurement.
+_ENV_EMIT_REL = os.environ.get("S4G_EMIT_REL") == "1"
 
 
 def set_default_bq_impl(impl: Optional[str]) -> None:
