@@ -144,9 +144,7 @@ BQ_K_TILE = 2048    # keys per inner step (KT/16 = 128-aligned pack width)
 
 def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
                      m16_scr, wsum_scr, bsum_scr, idx_scr,
-                     *, radius2, k_slots, nb_total, tile_axis=2, base=None,
-                     strips_ref=None, rel_ref=None, strips_scr=None,
-                     rel_scr=None):
+                     *, radius2, k_slots, nb_total, tile_axis=2, base=None):
     """One (centroid tile, key tile) grid step; key tiles iterate fastest.
 
     Every key tile appends its packed mask words / word popcounts / block
@@ -165,19 +163,9 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
     order (first-hit duplicate fill, ball_query_kernel.cu:64-68);
     cnt_ref (8, C): row 0 = min(total in range, k_slots).
 
-    Optional fused rel-xyz emission (strips_ref/rel_ref/strips_scr/rel_scr
-    all set): strips_ref carries the key tile's coordinates in block-strip
-    layout (16, 384) — row jl = block jl of the tile, lanes [u*128, ...)
-    = coordinate u of its 128 keys — accumulated to strips_scr (NB, 384).
-    During the bisect, the selected key's block row is extracted with ONE
-    exact HIGHEST-precision one-hot matmul (Xblk = strips^T onehot ->
-    (384, C)) and the within-block lane with a sublane mask-reduce; rel =
-    key_xyz - centroid_xyz goes to rel_scr (3*k_slots, C), duplicate-filled
-    like idx_ref into rel_ref (3, k_slots, C).  This replaces the model's
-    (M*K)-row gather + subtract for the grouped-xyz SA input (0.84 ms of
-    row-count-bound XLA gather at deployment scale) with in-VMEM selection.
-    count == 0 lanes emit rel = 0 (the model path guarantees count >= 1:
-    centroids are drawn from the point set).
+    (An in-kernel rel-xyz emission variant existed through round 4; the
+    round-4 solo A/B measured it a ~3% e2e loss vs the flat-gather route,
+    so it was deleted — docs/perf_roadmap.md.)
     """
     kt = BQ_K_TILE
     t = pl.program_id(tile_axis)
@@ -206,8 +194,6 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
         wsum_scr[pl.ds(u * nb_total + t * 16, 16), :] = w_u
         wsum_rows.append(w_u)
     bsum_scr[pl.ds(t * 16, 16), :] = sum(wsum_rows)                # (16, C)
-    if strips_ref is not None:
-        strips_scr[pl.ds(t * 16, 16), :] = strips_ref[...]
 
     # ---- last key tile: rank bisect over the accumulated scratch ----
     @pl.when(t == num_kt - 1)
@@ -283,25 +269,6 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
             if base is not None:
                 glob = glob + base
             idx_scr[pl.ds(s, 1), :] = glob
-
-            if rel_ref is not None:
-                # Selected key's coordinates: one-hot block extraction on
-                # the MXU (exact: products are 1.0 * x under HIGHEST, at
-                # most one nonzero per output) + a sublane mask-reduce for
-                # the within-block lane.
-                xblk = lax.dot_general(
-                    strips_scr[:], onehot,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)       # (384, C)
-                k_local = u_sel * 16 + within              # (1, C), [0, 128)
-                row128 = lax.broadcasted_iota(jnp.int32, (128, c_lanes), 0)
-                sel = (row128 == k_local).astype(jnp.float32)
-                for coord in range(3):
-                    val = jnp.sum(xblk[coord * 128:(coord + 1) * 128] * sel,
-                                  axis=0)[None]            # (1, C)
-                    rel_scr[pl.ds(coord * k_slots + s, 1), :] = \
-                        val - c_ref[coord:coord + 1, :]
             return 0
 
         lax.fori_loop(0, bound, slot_body, 0, unroll=False)
@@ -313,12 +280,6 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
         first = jnp.where(count > 0, idx_scr[0:1, :], 0)           # (1, C)
         idx_ref[...] = jnp.where(slot_io < count, idx_scr[:], first)
         cnt_ref[...] = jnp.broadcast_to(count, (8, c_lanes))
-        if rel_ref is not None:
-            for coord in range(3):
-                strip = rel_scr[coord * k_slots:(coord + 1) * k_slots, :]
-                f_rel = jnp.where(count > 0, strip[0:1, :], 0.0)
-                rel_ref[coord, :, :] = jnp.where(slot_io < count, strip,
-                                                 f_rel)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -402,12 +363,11 @@ def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
 BQ_SLAB_TILES = 4   # key tiles per slab window (4 * BQ_K_TILE = 8192 keys)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def ball_query_fused_slab_pallas(points: Array, centroids: Array,
                                  lo_tile: Array, radius: float,
                                  num_neighbours: int,
-                                 interpret: bool = False,
-                                 emit_rel: bool = False):
+                                 interpret: bool = False):
     """Fused ball query over per-centroid-tile key SLABS (sorted points).
 
     The caller guarantees: each scene's `points` are sorted ascending along
@@ -425,10 +385,7 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     Batch is a leading grid axis — per-scene cost is batch-linear by
     construction (each grid step touches one scene's tiles only).
 
-    Returns (index (B, M, K) i32 into the sorted point order, count (B, M));
-    with emit_rel also rel (B, 3, K, M) f32 = selected key xyz minus
-    centroid xyz (bit-identical to gather-and-subtract; count == 0 lanes
-    emit 0 — see _bq_fused_kernel).
+    Returns (index (B, M, K) i32 into the sorted point order, count (B, M)).
     """
     b, _, n = points.shape
     m = centroids.shape[2]
@@ -490,52 +447,15 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
         pltpu.VMEM((nb_slab, BQ_C_TILE), jnp.float32),
         pltpu.VMEM((num_neighbours, BQ_C_TILE), jnp.int32),
     ]
-    if emit_rel:
-        # Key coordinates in block-strip layout: row jb, lanes
-        # [coord*128 + l] = coordinate `coord` of key jb*128 + l.
-        nb_all = n_pad // 128
-        strips = (k[:, :3].reshape(b, 3, nb_all, 128)
-                  .transpose(0, 2, 1, 3).reshape(b, nb_all, 384))
-        inputs.append(strips)
-        in_specs.append(
-            pl.BlockSpec((1, kt // 128, 384),
-                         lambda i, j, t, lo: (i, lo[i, j] + t, 0),
-                         memory_space=pltpu.VMEM))
-        out_specs.append(
-            pl.BlockSpec((1, 3, num_neighbours, BQ_C_TILE),
-                         lambda i, j, t, lo: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM))
-        out_shape.append(
-            jax.ShapeDtypeStruct((b, 3, num_neighbours, m_pad), jnp.float32))
-        scratch_shapes += [
-            pltpu.VMEM((nb_slab, 384), jnp.float32),
-            pltpu.VMEM((3 * num_neighbours, BQ_C_TILE), jnp.float32),
-        ]
-
-        def kernel(lo_ref, c_ref, k_ref, pack_ref, strips_ref,
-                   idx_ref, cnt_ref, rel_ref,
-                   m16_scr, wsum_scr, bsum_scr, idx_scr,
-                   strips_scr, rel_scr):
-            i = pl.program_id(0)
-            j = pl.program_id(1)
-            base = lo_ref[i, j] * kt
-            _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref,
-                             idx_ref.at[0], cnt_ref.at[0],
-                             m16_scr, wsum_scr, bsum_scr, idx_scr,
-                             radius2=radius2, k_slots=num_neighbours,
-                             nb_total=nb_slab, tile_axis=2, base=base,
-                             strips_ref=strips_ref.at[0], rel_ref=rel_ref.at[0],
-                             strips_scr=strips_scr, rel_scr=rel_scr)
-    else:
-        def kernel(lo_ref, c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
-                   *scratch):
-            i = pl.program_id(0)
-            j = pl.program_id(1)
-            base = lo_ref[i, j] * kt
-            _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref,
-                             idx_ref.at[0], cnt_ref.at[0], *scratch,
-                             radius2=radius2, k_slots=num_neighbours,
-                             nb_total=nb_slab, tile_axis=2, base=base)
+    def kernel(lo_ref, c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
+               *scratch):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        base = lo_ref[i, j] * kt
+        _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref,
+                         idx_ref.at[0], cnt_ref.at[0], *scratch,
+                         radius2=radius2, k_slots=num_neighbours,
+                         nb_total=nb_slab, tile_axis=2, base=base)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -553,130 +473,9 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
     idx_t, cnt = out[0], out[1]
     index = jnp.swapaxes(idx_t, 1, 2)[:, :m]
     count = cnt[:, 0, :m].astype(jnp.int32)
-    if emit_rel:
-        rel = out[2][:, :, :, :m]                  # (B, 3, K, M)
-        return index, count, rel
     return index, count
 
-
-# -- slab-pruned fused 3-NN (sorted queries AND keys) ------------------------
-
-NN_K_TILE = 1024
-NN_SLAB_TILES = 2   # key slab = 2 * 1024 keys per 256-query tile
-
-
-def _three_nn_slab_kernel(lo_ref, ax_ref, kl_ref, kr_ref, q_ref, k_ref,
-                          idx_ref, dist_ref, d_scr):
-    """Query tile vs a per-tile key SLAB (scalar-prefetched window).
-
-    Same exact difference-form arithmetic and tie-breaks as
-    _three_nn_kernel, restricted to the slab; key indices are rebased to
-    global sorted positions.  dist_ref row 3 carries the per-query
-    VERIFICATION flag: 1.0 iff the 3rd-smallest distance is strictly
-    below the squared axis distance to both slab edges (+f32 tolerance),
-    which proves no outside key could displace a winner.  kl/kr are the
-    slab edge coordinates along the sort axis, pre-substituted with -+1e9
-    when the slab touches the array ends.
-    """
-    j = pl.program_id(0)
-    t = pl.program_id(1)
-    kt = NN_K_TILE
-    cap = NN_SLAB_TILES * kt
-
-    cols = _coord_cols(q_ref)                     # (Q, 128)
-    qx, qy, qz = cols[:, 0:1], cols[:, 1:2], cols[:, 2:3]
-    dx = qx - k_ref[0:1, :]
-    dy = qy - k_ref[1:2, :]
-    dz = qz - k_ref[2:3, :]
-    d_scr[:, pl.ds(t * kt, kt)] = dx * dx + dy * dy + dz * dz
-
-    @pl.when(t == NN_SLAB_TILES - 1)
-    def _extract():
-        base = lo_ref[j] * kt
-        col = lax.broadcasted_iota(jnp.int32, (Q_TILE, cap), 1)
-        big_i = jnp.int32(2 ** 30)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
-        dist_ref[:] = jnp.zeros_like(dist_ref)
-        d3 = None
-        for s in range(3):
-            d = d_scr[:]
-            m = jnp.min(d, axis=1)
-            at_min = d == m[:, None]
-            i_s = jnp.min(jnp.where(at_min, col, big_i), axis=1)
-            idx_ref[s, :] = i_s + base
-            dist_ref[s, :] = m
-            d_scr[:] = jnp.where(col == i_s[:, None], jnp.inf, d)
-            d3 = m
-
-        ax = ax_ref[0]
-        q_ax = q_ref[pl.ds(ax, 1), :][0, :]        # (Q_TILE,)
-        left = q_ax - kl_ref[j]
-        right = kr_ref[j] - q_ax
-        tol = 1e-6 * (1.0 + d3)
-        ok = ((left > 0.0) & (left * left > d3 + tol)
-              & (right > 0.0) & (right * right > d3 + tol))
-        dist_ref[3, :] = ok.astype(jnp.float32)
-
-
-@functools.partial(jax.jit, static_argnums=(6,))
-def three_nn_slab_pallas(query_xyz: Array, key_xyz: Array, lo_tile: Array,
-                         sorted_axis: Array, kleft: Array, kright: Array,
-                         interpret: bool = False):
-    """Slab-pruned 3-NN selection; see _three_nn_slab_kernel.
-
-    Caller guarantees: B == 1, both point sets sorted ascending along
-    `sorted_axis`, lo_tile[j] an NN_K_TILE-aligned slab start (in tiles)
-    per Q_TILE-query tile, kleft/kright the slab edge axis coordinates
-    (with -+1e9 substituted at array ends).
-
-    Returns (index (1, N1, 3) i32 global sorted positions,
-             ok (N1,) bool verification flags).
-    """
-    b, _, n1 = query_xyz.shape
-    n2 = key_xyz.shape[2]
-    assert b == 1
-    kt = NN_K_TILE
-    nq_pad = ((n1 + Q_TILE - 1) // Q_TILE) * Q_TILE
-    nk_pad = max(((n2 + kt - 1) // kt) * kt, NN_SLAB_TILES * kt)
-
-    # Pad queries by REPEATING the last query so padded lanes inherit its
-    # verification flag instead of forcing a spurious fallback.
-    q = jnp.pad(query_xyz, ((0, 0), (0, 0), (0, nq_pad - n1)), mode="edge")
-    q = _pad_planes(q, nq_pad, 0.0)[0]             # (8, NQ_pad)
-    k = _pad_planes(key_xyz, nk_pad, 1e9)[0]       # (8, NK_pad)
-
-    num_q_tiles = nq_pad // Q_TILE
-    kernel = _three_nn_slab_kernel
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(num_q_tiles, NN_SLAB_TILES),
-        in_specs=[
-            pl.BlockSpec((8, Q_TILE), lambda j, t, lo, ax, kl, kr: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, kt), lambda j, t, lo, ax, kl, kr: (0, lo[j] + t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((8, Q_TILE), lambda j, t, lo, ax, kl, kr: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Q_TILE), lambda j, t, lo, ax, kl, kr: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Q_TILE, NN_SLAB_TILES * kt), jnp.float32),
-        ],
-    )
-    idx8, dist8 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((8, nq_pad), jnp.int32),
-            jax.ShapeDtypeStruct((8, nq_pad), jnp.float32),
-        ],
-        interpret=interpret,
-    )(lo_tile.astype(jnp.int32), jnp.asarray(sorted_axis, jnp.int32)[None],
-      kleft.astype(jnp.float32), kright.astype(jnp.float32), q, k)
-    idx = jnp.swapaxes(idx8[:3, :n1][None], 1, 2)  # (1, N1, 3)
-    ok = dist8[3, :n1] > 0.5
-    return idx, ok
+# (A slab-pruned fused 3-NN with per-query patch fallback existed through
+# round 4; the round-4 solo A/B measured it a 7% e2e loss vs the full
+# Pallas scan and it was DELETED per the win-or-delete rule —
+# docs/perf_roadmap.md.)
