@@ -2,8 +2,10 @@
 
 Measures the reference's headline points (SURVEY.md §6 / BASELINE.md):
 model-forward latency and the fused end-to-end detect pipeline (forward +
-post-processing + collision filtering) at batch 1 with 25,600 points, on
-the attached TPU chip.
+post-processing + collision filtering) with 25,600 points per scene, on
+the attached TPU chip.  The headline value is the best honest serving
+configuration — batch 2 beats batch 1 (VERDICT r4 #6); batch-1 numbers
+stay in detail.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
@@ -49,7 +51,7 @@ MODEL_GMACS = 110.0         # PN2_CLS forward at 25,600 pts (BASELINE.md)
 V5E_PEAK_BF16_TFLOPS = 394.0
 
 METRIC = ("scenes/sec/chip single-view grasp inference "
-          "(e2e fwd+postproc+collision, 25600 pts, batch 1)")
+          "(e2e fwd+postproc+collision, 25600 pts, best serving batch)")
 
 
 def _error_result(error, detail=None):
@@ -98,7 +100,7 @@ def _select_routes():
     helper hangs (a mid-session failure mode documented in BASELINE.md —
     an in-process probe would hang the whole bench, VERDICT r3 weak #2)."""
     import jax
-    from s4g_tpu.ops import neighbors, sampling
+    from s4g_tpu.ops import sampling
     from s4g_tpu.runtime import guard
 
     if jax.default_backend() != "tpu":
@@ -106,24 +108,6 @@ def _select_routes():
     probe_s = float(os.environ.get("S4G_PALLAS_PROBE_DEADLINE", 420))
     if not guard.pallas_fps_compiles(timeout_s=probe_s):
         sampling.set_default_fps_impl("xla")
-    if neighbors._ENV_EMIT_REL:
-        # In-kernel rel-xyz emission at the deployment slab shape; on a
-        # compile failure/hang fall back to ball_query + flat XLA gather
-        # (the round-2-proven route) rather than crashing the headline.
-        rc, _ = guard.run_subprocess(
-            "import jax, jax.numpy as jnp, numpy as np\n"
-            "from s4g_tpu.ops import neighbors\n"
-            "keys = jnp.linspace(0.0, 1.0, 25600, dtype=jnp.float32)\n"
-            "pts = jnp.stack([keys, keys * 0.5, keys * 0.25])[None]\n"
-            "cents = pts[:, :, ::5]\n"
-            "idx, _, rel = neighbors.ball_query_grouped(\n"
-            "    pts, cents, 0.02, 64, sorted_axis=0,"
-            " centroids_sorted=True)\n"
-            "print(float(np.asarray(rel.sum()))"
-            " + float(np.asarray(idx.sum())))\n",
-            probe_s)
-        if rc != 0:
-            neighbors.set_emit_rel(False)
 
 
 def _bench_child():
@@ -135,7 +119,6 @@ def _bench_child():
 
     from s4g_tpu.configs.config import load_cfg_from_file
     from s4g_tpu.models import build_model
-    from s4g_tpu.ops import neighbors as _neighbors_mod
     from s4g_tpu.ops import sampling as _sampling_mod
     from s4g_tpu.ops.neighbors import ball_query, three_nn
     from s4g_tpu.ops.sampling import farthest_point_sample
@@ -150,7 +133,6 @@ def _bench_child():
         # Pallas path failed to compile, the fallback is visible here
         # rather than silently shaping the headline.
         "fps_impl": _sampling_mod.resolved_fps_impl(),
-        "emit_rel": bool(_neighbors_mod._ENV_EMIT_REL),
     }
 
     def partial():
@@ -229,15 +211,18 @@ def _bench_child():
 def _measure_batch_points(result, deadline_each):
     """Batch serving points, ONE child process per batch size (one-process
     multi-variant slope A/Bs measured impossible numbers in round 2 —
-    BASELINE.md methodology).  Reported in detail as the best-batch serving
-    throughput alongside the batch-1 headline (VERDICT r3 #3)."""
+    BASELINE.md methodology).  The best point becomes the headline value;
+    batch 1 moves into detail.  Default sweeps ONLY b=2 (the measured best
+    point; b=4/8 regress and each point costs a compiled child process —
+    the full table lives in docs/perf_roadmap.md).  Override with
+    S4G_BENCH_BATCH_POINTS="2,4,8" for a full sweep."""
     points = os.environ.get("S4G_BENCH_BATCH_POINTS", "2")
     if not points.strip():
         return
     # A/B variant runs (kernel-route env overrides active) measure only the
     # batch-1 points: the batch sweep belongs to the default-config bench.
     if any(k in os.environ for k in (
-            "S4G_EMIT_REL", "S4G_3NN_SLAB", "S4G_MLP_FUSE_MIN_ROWS",
+            "S4G_MLP_FUSE_MIN_ROWS",
             "S4G_MLP_FUSE_SCOPE", "S4G_MLP_IMPL", "S4G_FPS_IMPL",
             "S4G_FPS_GROUP", "S4G_BQ_IMPL", "S4G_BQ_SLAB_IMPL",
             "S4G_3NN_IMPL", "S4G_CAST_ACTIVATIONS")):
@@ -268,6 +253,16 @@ def _measure_batch_points(result, deadline_each):
     best = batches[best_b]["scenes_per_sec"]
     result["detail"]["best_batch"] = best_b
     result["detail"]["best_batch_scenes_per_sec"] = best
+    # Headline = the best honest serving configuration (VERDICT r4 #6):
+    # batch 2 amortizes the fixed postproc/head floor and beats batch 1
+    # (176.3 vs 160.9 measured in round 4).  Batch 1 stays in detail.
+    if result.get("value") is not None and best > result["value"]:
+        result["detail"]["batch1_scenes_per_sec"] = result["value"]
+        result["detail"]["headline_batch"] = best_b
+        result["value"] = round(best, 2)
+        result["vs_baseline"] = round(best / REF_SCENES_PER_SEC, 3)
+    else:
+        result["detail"]["headline_batch"] = 1
 
 
 def main():

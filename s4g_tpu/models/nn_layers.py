@@ -139,11 +139,9 @@ class SharedMLP(nn.Module):
         # 1.03 -> 0.63 ms win on the first pooled SA stage, but IN CONTEXT
         # the full forward measured slower with any fusion scope (XLA fused
         # the gather / concat / Dense chain better than it fed an opaque
-        # kernel).  That gather no longer exists on the stage-1 path
-        # (emit_rel), so the S4G_MLP_FUSE_MIN_ROWS=1 A/B is re-staged for
-        # the next TPU window — now covering NON-pooled chains too (FP
-        # stages, seg head: ~0.25 ms of inter-layer HBM traffic at
-        # deployment scale), not just the pooled SA stages.
+        # kernel), and the round-4 window re-measured it a loss again
+        # (-14%, docs/perf_roadmap.md).  Kept behind S4G_MLP_FUSE_MIN_ROWS
+        # as a re-measurable A/B.
         min_rows = ENV_MLP_FUSE_MIN_ROWS
         pooled_ok = (max_pool_k is not None and x.shape[-2] == max_pool_k
                      and 2048 % max_pool_k == 0)

@@ -162,10 +162,8 @@ class PointNetSAModule(nn.Module):
                     parts = [group_xyz] + parts
                 group_feature = jnp.concatenate(parts, axis=-1)
             else:
-                # xyz-only stage: rel-xyz comes fused out of the slab ball
-                # query (in-kernel emission on the TPU sorted route; a flat
-                # gather with identical values elsewhere) — no (M*K)-row
-                # gather in the model graph.
+                # xyz-only stage: rel-xyz comes out of ball_query_grouped
+                # as one flat row gather over the selected indices.
                 _, _, group_xyz = ops.ball_query_grouped(
                     _cf(xyz), _cf(new_xyz), self.radius,
                     self.num_neighbours, sorted_axis=sorted_axis,
@@ -238,7 +236,7 @@ class PointnetFPModule(nn.Module):
 
     @nn.compact
     def __call__(self, dense_xyz, sparse_xyz, dense_feature, sparse_feature,
-                 train: bool = False, sorted_axis=None) -> Array:
+                 train: bool = False) -> Array:
         if self.num_neighbors == 0:
             assert sparse_xyz.shape[1] == 1
             expanded = jnp.broadcast_to(
@@ -248,8 +246,7 @@ class PointnetFPModule(nn.Module):
             new_feature = jnp.concatenate([expanded, dense_feature], axis=-1)
         else:
             assert self.num_neighbors == 3
-            index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz),
-                                           sorted_axis=sorted_axis)
+            index, distance = ops.three_nn(_cf(dense_xyz), _cf(sparse_xyz))
             weight = interpolation_weights(distance)
             # Per-neighbour gather-then-fma: avoids materializing the
             # (B, N1, 3, C) grouped tensor (~160 MB at deployment scale,

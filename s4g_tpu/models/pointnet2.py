@@ -117,13 +117,12 @@ class PointNet2Backbone(nn.Module):
         for i in range(num_layers):
             dense_xyz = inter_xyz[-2 - i]
             dense_feature = inter_feature[-2 - i]
-            fp_kwargs = {} if self.edge_fp else {"sorted_axis": sorted_axis}
             sparse_feature = fp_cls(
                 mlp_channels=self.fp_channels[i],
                 num_neighbors=self.num_fp_neighbours[i],
                 dtype=self.dtype,
                 name=f"fp{i}")(dense_xyz, sparse_xyz, dense_feature,
-                               sparse_feature, train=train, **fp_kwargs)
+                               sparse_feature, train=train)
             sparse_xyz = dense_xyz
         if order is not None:
             # Restore the caller's point order (one wide row gather; the

@@ -42,13 +42,13 @@ Array = jax.Array
 _ENV_BQ_SLAB_IMPL = os.environ.get("S4G_BQ_SLAB_IMPL", "pallas")
 _ENV_BQ_IMPL = os.environ.get("S4G_BQ_IMPL")
 _ENV_3NN_IMPL = os.environ.get("S4G_3NN_IMPL")
-_ENV_3NN_SLAB = os.environ.get("S4G_3NN_SLAB") == "1"
-# A/B gate for the in-kernel grouped rel-xyz emission.  Default OFF: the
-# round-4 solo window measured the emission a net LOSS at deployment scale
-# (164.4 scenes/s vs 168.6-171.5 with the flat-gather route — the XLA
-# gather it was built to replace no longer dominates after the round-3
-# restructuring).  S4G_EMIT_REL=1 re-enables it for re-measurement.
-_ENV_EMIT_REL = os.environ.get("S4G_EMIT_REL") == "1"
+# Two staged kernel variants were REMOVED after losing their round-4 A/Bs
+# (docs/perf_roadmap.md): the in-kernel grouped rel-xyz emission
+# (S4G_EMIT_REL, 164.4 vs 168.6-171.5 scenes/s — the XLA gather it was
+# built to replace no longer dominates) and the slab-pruned 3-NN kernel
+# (S4G_3NN_SLAB, ~7% of real-scene queries fail the window verification so
+# the whole-call fallback makes it a net loss).  ball_query_grouped's rel
+# is always the flat row gather now, and three_nn always full-scans.
 
 
 def set_default_bq_impl(impl: Optional[str]) -> None:
@@ -61,12 +61,6 @@ def set_default_3nn_impl(impl: Optional[str]) -> None:
     """Override the default 3-NN route (None = backend auto)."""
     global _ENV_3NN_IMPL
     _ENV_3NN_IMPL = impl
-
-
-def set_emit_rel(enabled: bool) -> None:
-    """Default for ball_query_grouped's in-kernel rel-xyz emission."""
-    global _ENV_EMIT_REL
-    _ENV_EMIT_REL = bool(enabled)
 
 
 def _resolve_bq_impl(impl: str) -> str:
@@ -245,7 +239,7 @@ def _axis_keys(arr: Array, sorted_axis: Array) -> Array:
 def _ball_query_sorted_pruned(points: Array, centroids: Array,
                               radius2: float, num_neighbours: int,
                               chunk: int, sorted_axis: Array,
-                              slab_capacity: int, emit_rel: bool = False,
+                              slab_capacity: int,
                               centroids_sorted: bool = False,
                               slab_route: str = "xla"):
     """Slab-pruned ball query for scenes whose points are sorted ascending
@@ -317,18 +311,6 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
         return (idx_f.reshape(b, m + pad, num_neighbours),
                 cnt_f.reshape(b, m + pad))
 
-    def _rel_sorted(idx_sp, cnt_sp):
-        """Gather-based rel-xyz in SORTED centroid order, (B, 3, K, m+pad):
-        the fallback twin of the kernel's fused emission (count == 0 lanes
-        are zeroed to match the kernel contract)."""
-        g = flat_gather_rows(
-            jnp.swapaxes(points, 1, 2),
-            idx_sp.reshape(b, (m + pad) * num_neighbours))
-        rel = (g.reshape(b, m + pad, num_neighbours, 3)
-               - jnp.swapaxes(cent_p, 1, 2)[:, :, None, :])
-        rel = jnp.where(cnt_sp[..., None, None] > 0, rel, 0.0)
-        return jnp.transpose(rel, (0, 3, 2, 1))
-
     if slab_route in ("kernel", "interpret"):
         # Fused Pallas slab kernel: per BQ_C_TILE-centroid tile, a
         # BQ_K_TILE-aligned window of BQ_SLAB_TILES key tiles (see
@@ -357,29 +339,15 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
 
         def kern(_):
             radius_py = float(radius2) ** 0.5
-            out_k = ball_query_fused_slab_pallas(
+            i_k, c_k = ball_query_fused_slab_pallas(
                 points, cent_s, lo_tile, radius_py, num_neighbours,
-                slab_route == "interpret", emit_rel)
-            i_k, c_k = out_k[0], out_k[1]
+                slab_route == "interpret")
             pad_k = jnp.zeros((b, pad, num_neighbours), jnp.int32)
             i_p = jnp.concatenate([i_k, pad_k], axis=1)
             c_p = jnp.concatenate([c_k, pad_k[:, :, 0]], axis=1)
-            if not emit_rel:
-                return i_p, c_p
-            rel_p = jnp.concatenate(
-                [out_k[2],
-                 jnp.zeros((b, 3, num_neighbours, pad), jnp.float32)],
-                axis=3)
-            return i_p, c_p, rel_p
+            return i_p, c_p
 
-        if emit_rel:
-            def full_flat_rel(_):
-                i_f, c_f = full_flat(None)
-                return i_f, c_f, _rel_sorted(i_f, c_f)
-            idx_s, cnt_s, rel_s = lax.cond(overflow, full_flat_rel, kern,
-                                           operand=None)
-        else:
-            idx_s, cnt_s = lax.cond(overflow, full_flat, kern, operand=None)
+        idx_s, cnt_s = lax.cond(overflow, full_flat, kern, operand=None)
     else:
         kmin = ckeys_p.reshape(b, num_chunks, chunk)[:, :, 0] - radius
         kmax = ckeys_p.reshape(b, num_chunks, chunk)[:, :, -1] + radius
@@ -408,16 +376,11 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                     cnt_p.reshape(b, m + pad))
 
         idx_s, cnt_s = lax.cond(overflow, full_flat, pruned, operand=None)
-        if emit_rel:
-            rel_s = _rel_sorted(idx_s, cnt_s)
 
     idx_s = idx_s[:, :m]
     cnt_s = cnt_s[:, :m]
 
     if centroids_sorted:
-        if emit_rel:
-            return idx_s, cnt_s, jnp.transpose(rel_s[:, :, :, :m],
-                                               (0, 3, 2, 1))
         return idx_s, cnt_s
 
     # Back to the caller's centroid order (flat row gathers: the batched
@@ -425,12 +388,6 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
     inv = invert_permutation(corder)
     idx = flat_gather_rows(idx_s, inv)
     count = flat_gather_rows(cnt_s[..., None], inv)[..., 0]
-    if emit_rel:
-        rel_cl = jnp.transpose(rel_s[:, :, :, :m], (0, 3, 2, 1))
-        rel = flat_gather_rows(
-            rel_cl.reshape(b, m, 3 * num_neighbours), inv
-        ).reshape(b, m, num_neighbours, 3)
-        return idx, count, rel
     return idx, count
 
 
@@ -548,52 +505,31 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
                        sorted_axis: Optional[Array] = None,
                        slab_capacity: int = 6144,
                        centroids_sorted: bool = False,
-                       emit_impl: Optional[bool] = None,
                        slab_impl: Optional[str] = None):
     """Ball query that ALSO returns the grouped relative coordinates
     rel = points[index] - centroid, (B, M, K, 3) f32 — the SA-stage
     grouped-xyz input (reference grouping_kernel.cu:32-53 + modules.py:44).
 
-    On the sorted-slab Pallas route the rel tensor is emitted inside the
-    kernel while the key coordinates sit in VMEM (one exact one-hot MXU
-    extraction per slot), replacing the (M*K)-row XLA gather that costs
-    0.84 ms at deployment scale.  Every other route computes the identical
-    values with a flat row gather.  count == 0 centroids emit rel = 0 on
-    all routes (unreachable when centroids are drawn from `points`, as in
-    SA stages: a centroid is strictly within any radius of itself).
-
-    `emit_impl` selects the route explicitly (None = the S4G_EMIT_REL
-    module flag).  The choice is resolved HERE, in the unjitted wrapper,
-    and passed to the jitted body as a static argument: reading the module
-    flag at trace time would bake the route into the pjit cache keyed only
-    on shapes, so a later flag flip (bench.py's compile-failure fallback,
-    test monkeypatching) would silently reuse the stale route.
+    rel is one flat row gather over the selected indices.  (An in-kernel
+    fused emission existed through round 4 and lost its A/B — see the
+    module-flag comment at the top of the file.)  count == 0 centroids
+    emit rel = 0 (unreachable when centroids are drawn from `points`, as
+    in SA stages: a centroid is strictly within any radius of itself).
     """
-    if emit_impl is None:
-        emit_impl = _ENV_EMIT_REL
     return _ball_query_grouped_jit(points, centroids, radius,
                                    num_neighbours, chunk, sorted_axis,
                                    slab_capacity, centroids_sorted,
-                                   bool(emit_impl), _resolve_bq_impl("auto"),
+                                   _resolve_bq_impl("auto"),
                                    _resolve_slab_impl(slab_impl))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8, 9))
 def _ball_query_grouped_jit(points: Array, centroids: Array, radius: float,
                             num_neighbours: int, chunk: int,
                             sorted_axis: Optional[Array],
                             slab_capacity: int, centroids_sorted: bool,
-                            emit_impl: bool, bq_impl: str,
-                            slab_route: str):
+                            bq_impl: str, slab_route: str):
     b, _, m = centroids.shape
-    n = points.shape[2]
-    if sorted_axis is not None and n > slab_capacity and emit_impl:
-        return _ball_query_sorted_pruned(points, centroids, radius * radius,
-                                         num_neighbours, chunk,
-                                         jnp.asarray(sorted_axis, jnp.int32),
-                                         slab_capacity, emit_rel=True,
-                                         centroids_sorted=centroids_sorted,
-                                         slab_route=slab_route)
     idx, count = _ball_query_jit(points, centroids, radius, num_neighbours,
                                  chunk, bq_impl, sorted_axis,
                                  slab_capacity, centroids_sorted,
@@ -683,88 +619,20 @@ def _three_nn_select_xla(query_xyz: Array, key_xyz: Array, chunk: int):
     return idx.reshape(b, n1 + pad, 3)[:, :n1]
 
 
-def _three_nn_sorted_slab(query_xyz: Array, key_xyz: Array,
-                          sorted_axis: Array, interpret: bool = False):
-    """Slab-pruned 3-NN selection (both point sets sorted along
-    `sorted_axis`): run the Pallas slab kernel, then PATCH the queries
-    whose verification flag fails with a full Pallas scan over just those
-    queries (fixed-capacity compaction; see
-    pallas/neighbor_kernels.py::_three_nn_slab_kernel).  Selection
-    arithmetic is the exact difference form of the full kernel, so the
-    combined result is bit-identical to the full scan: verified queries by
-    the slab proof, failed queries by re-scan.  Only when more than
-    PATCH_CAP (~17%) of queries fail does the whole-call fallback fire
-    (round-2 measured ~7% on real scenes — the whole-call form made the
-    slab route a net loss, docs/perf_roadmap.md)."""
-    from .pallas.neighbor_kernels import (NN_K_TILE, NN_SLAB_TILES, Q_TILE,
-                                          three_nn_pallas,
-                                          three_nn_slab_pallas)
-    n1 = query_xyz.shape[2]
-    n2 = key_xyz.shape[2]
-    kt = NN_K_TILE
-    cap = NN_SLAB_TILES * kt
-    nk_pad = max(-(-n2 // kt) * kt, cap)
-
-    qax = lax.dynamic_index_in_dim(query_xyz[0], sorted_axis, axis=0,
-                                   keepdims=False)
-    kax = lax.dynamic_index_in_dim(key_xyz[0], sorted_axis, axis=0,
-                                   keepdims=False)
-    kax_pad = jnp.pad(kax, (0, nk_pad - n2), constant_values=1e9)
-
-    nq_pad = -(-n1 // Q_TILE) * Q_TILE
-    qax_p = jnp.pad(qax, (0, nq_pad - n1), mode="edge")
-    tiles = qax_p.reshape(-1, Q_TILE)
-    mid = 0.5 * (tiles[:, 0] + tiles[:, -1])
-    pos = jnp.searchsorted(kax, mid).astype(jnp.int32)
-    lo_tile = jnp.clip((pos - cap // 2) // kt, 0, nk_pad // kt
-                       - NN_SLAB_TILES)
-    kleft = jnp.where(lo_tile == 0, jnp.float32(-1e9),
-                      jnp.take(kax_pad, lo_tile * kt))
-    kright = jnp.take(kax_pad, lo_tile * kt + cap - 1)
-
-    idx_s, ok = three_nn_slab_pallas(query_xyz, key_xyz, lo_tile,
-                                     sorted_axis, kleft, kright, interpret)
-
-    num_fail = jnp.sum((~ok).astype(jnp.int32))
-    cap_p = min(nq_pad, max(Q_TILE, ((n1 // 6 + 255) // 256) * 256))
-
-    def patch(_):
-        # Compact the failing query positions into a fixed-size buffer
-        # (fill slots point at query 0; its re-scanned rows are identical
-        # for every duplicate, so the scatter is deterministic and exact).
-        (fail_pos,) = jnp.nonzero(~ok, size=cap_p, fill_value=0)
-        fail_pos = fail_pos.astype(jnp.int32)
-        q_fail = jnp.take(query_xyz, fail_pos, axis=2)     # (1, 3, cap)
-        i_f, _d = three_nn_pallas(q_fail, key_xyz, interpret)
-        return idx_s.at[0, fail_pos].set(i_f[0])
-
-    def full(_):
-        i_f, _d = three_nn_pallas(query_xyz, key_xyz, interpret)
-        return i_f
-
-    return lax.cond(num_fail <= cap_p, patch, full, operand=None)
-
-
 def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
-             chunk: int = 2048, impl: str = "auto",
-             sorted_axis: Optional[Array] = None):
+             chunk: int = 2048, impl: str = "auto"):
     """3 nearest neighbours of each query point among the key points.
 
     Selection uses matmul-form distances (fused VMEM-resident Pallas kernel
     on TPU, chunked XLA elsewhere); the returned distances are exact
     difference-form values recomputed on the 3 winners, ascending, ties to
-    the lower index.
+    the lower index.  (A slab-pruned sorted variant existed through round 4
+    and lost its A/B — see the module-flag comment at the top of the file.)
 
     Args:
         query_xyz: (B, 3, N1)
         key_xyz: (B, 3, N2)
         impl: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
-        sorted_axis: optional traced int32 scalar; the caller GUARANTEES
-            BOTH point sets are sorted ascending along that coordinate
-            (B must be 1).  On TPU at large sizes this routes to the
-            verified slab-pruned Pallas kernel — bit-identical to the full
-            Pallas scan (same difference-form arithmetic), with lax.cond
-            fallback when verification fails.
 
     Returns:
         index: (B, N1, 3) int32 — ascending distance, ties to lower index.
@@ -773,17 +641,6 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
     assert num_neighbors == 3, "reference kernel is hard-coded to K=3"
     # Unjitted wrapper: resolve the route defaults HERE (static-arg
     # pattern; see the module-flag comment at the top of the file).
-    # The slab route is OFF by default: on real tabletop scenes ~7% of
-    # queries fail the window verification (3-NN radii exceed the axis
-    # margin where key density concentrates), the whole-call fallback
-    # fires, and the slab attempt becomes pure overhead.  Kept behind
-    # S4G_3NN_SLAB=1 as exact, tested groundwork (docs/perf_roadmap.md).
-    use_slab = (sorted_axis is not None and query_xyz.shape[0] == 1
-                and _ENV_3NN_SLAB
-                and query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 25)
-                and key_xyz.shape[2] >= 4096
-                and jax.default_backend() == "tpu"
-                and impl in ("auto", "pallas"))
     if impl == "auto":
         if _ENV_3NN_IMPL:
             impl = _ENV_3NN_IMPL
@@ -794,17 +651,11 @@ def three_nn(query_xyz: Array, key_xyz: Array, num_neighbors: int = 3,
             big = query_xyz.shape[2] * key_xyz.shape[2] >= (1 << 22)
             impl = ("pallas" if jax.default_backend() == "tpu" and big
                     else "xla")
-    return _three_nn_jit(query_xyz, key_xyz, chunk, impl, use_slab,
-                         sorted_axis)
+    return _three_nn_jit(query_xyz, key_xyz, chunk, impl)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _three_nn_jit(query_xyz: Array, key_xyz: Array, chunk: int, impl: str,
-                  use_slab: bool, sorted_axis: Optional[Array]):
-    if use_slab:
-        idx = _three_nn_sorted_slab(query_xyz, key_xyz,
-                                    jnp.asarray(sorted_axis, jnp.int32))
-        return _exact_resort3(idx, query_xyz, key_xyz)
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _three_nn_jit(query_xyz: Array, key_xyz: Array, chunk: int, impl: str):
     if impl == "pallas":
         from .pallas.neighbor_kernels import three_nn_pallas
         idx, _ = three_nn_pallas(query_xyz, key_xyz)

@@ -67,7 +67,7 @@ def test_batch_sweep_skipped_on_ab_variant_runs(monkeypatch):
     monkeypatch.setattr(bench.subprocess, "run",
                         _fake_run_factory({}, calls))
     monkeypatch.setenv("S4G_BENCH_BATCH_POINTS", "8")
-    monkeypatch.setenv("S4G_EMIT_REL", "0")   # an A/B override
+    monkeypatch.setenv("S4G_MLP_IMPL", "xla")   # an A/B override
     result = {"detail": {}}
     bench._measure_batch_points(result, deadline_each=10)
     assert calls == [] and "batch_points" not in result["detail"]

@@ -37,41 +37,27 @@ def _scene_sorted(rng, n=25600, axis=0, shift=0.0):
     return pts[:, np.argsort(pts[axis])]
 
 
-def test_emit_rel_bit_exact_at_deployment_scale():
+def test_slab_grouped_ball_query_bit_exact_at_deployment_scale():
     rng = np.random.RandomState(0)
     pts = _scene_sorted(rng)
     cents = pts[:, ::5][:, :5120]
     q, c = jnp.asarray(pts[None]), jnp.asarray(cents[None])
 
-    # emit_impl/slab_impl are STATIC arguments of the jitted body (separate
-    # pjit cache entries) — flipping a module global would not retrace and
-    # the comparison would be the emit route against itself.  Route a pins
-    # the REAL Pallas slab kernel (interpret mode on this CPU host — the
-    # same kernel that runs compiled on TPU); route b is the XLA twin.
+    # slab_impl is a STATIC argument of the jitted body (separate pjit
+    # cache entries) — flipping a module global would not retrace and the
+    # comparison would be one route against itself.  Route a pins the REAL
+    # Pallas slab kernel (interpret mode on this CPU host — the same
+    # kernel that runs compiled on TPU); route b is the XLA twin.
     idx_a, cnt_a, rel_a = neighbors.ball_query_grouped(
         q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True,
-        emit_impl=True, slab_impl="pallas_interpret")
+        slab_impl="pallas_interpret")
     idx_b, cnt_b, rel_b = neighbors.ball_query_grouped(
         q, c, 0.02, 64, sorted_axis=0, centroids_sorted=True,
-        emit_impl=False, slab_impl="xla")
+        slab_impl="xla")
 
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
     np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
     assert np.abs(np.asarray(rel_a) - np.asarray(rel_b)).max() == 0.0
-
-
-def test_slab_three_nn_bit_identical_to_full_pallas():
-    from s4g_tpu.ops.pallas.neighbor_kernels import three_nn_pallas
-
-    rng = np.random.RandomState(0)
-    pts = _scene_sorted(rng)
-    cents = pts[:, ::5][:, :5120]
-    q, k = jnp.asarray(pts[None]), jnp.asarray(cents[None])
-
-    idx_slab = neighbors._three_nn_sorted_slab(q, k, jnp.int32(0),
-                                               interpret=True)
-    idx_full, _ = three_nn_pallas(q, k, interpret=True)
-    np.testing.assert_array_equal(np.asarray(idx_slab), np.asarray(idx_full))
 
 
 def test_lane_sharded_fps_exact_at_deployment_scale():

@@ -209,59 +209,3 @@ def test_ball_query_fused_slab_pallas_interpret():
                                        cents.astype(np.float64), r, k)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
     np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
-
-    # Fused rel-xyz emission: identical idx/cnt plus rel == bit-exact
-    # gather-and-subtract of the selected keys.
-    idx_r, cnt_r, rel = ball_query_fused_slab_pallas(
-        jnp.asarray(pts), jnp.asarray(cents),
-        jnp.asarray(lo_tile, jnp.int32), r, k, True, True)
-    np.testing.assert_array_equal(np.asarray(idx_r), want_idx)
-    np.testing.assert_array_equal(np.asarray(cnt_r), want_cnt)
-    want_rel = (pts[0].T[want_idx[0]]                       # (M, K, 3)
-                - cents[0].T[:, None, :]).transpose(2, 1, 0)  # (3, K, M)
-    np.testing.assert_array_equal(np.asarray(rel)[0], want_rel)
-
-
-@pytest.mark.slow
-def test_three_nn_slab_pallas_interpret():
-    """Verified slab 3-NN must be bit-identical to the full Pallas scan
-    (same difference-form arithmetic) on sorted inputs."""
-    import jax
-    import jax.numpy as jnp
-    from s4g_tpu.ops import neighbors as NB
-
-    rng = np.random.RandomState(5)
-    n1, n2, ax = 2000, 4200, 2
-    q = rng.rand(1, 3, n1).astype(np.float32) * 0.5
-    k = rng.rand(1, 3, n2).astype(np.float32) * 0.5
-    q = q[:, :, np.argsort(q[0, ax], kind="stable")]
-    k = k[:, :, np.argsort(k[0, ax], kind="stable")]
-
-    idx = NB._three_nn_sorted_slab(jnp.asarray(q), jnp.asarray(k),
-                                   jnp.int32(ax), interpret=True)
-    from s4g_tpu.ops.pallas.neighbor_kernels import three_nn_pallas
-    want, _ = three_nn_pallas(jnp.asarray(q), jnp.asarray(k), True)
-    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
-
-    # Per-query PATCH path: push a small set of queries far off-axis so
-    # their 3rd-NN distance exceeds the slab's axis margin (verification
-    # fails there, and only there) — the compact-and-rescan patch must
-    # restore bit-identity with the full scan.
-    q_bad = q.copy()
-    bad = rng.choice(n1, 60, replace=False)
-    q_bad[0, (ax + 1) % 3, bad] += 10.0
-    idx_p = NB._three_nn_sorted_slab(jnp.asarray(q_bad), jnp.asarray(k),
-                                     jnp.int32(ax), interpret=True)
-    want_p, _ = three_nn_pallas(jnp.asarray(q_bad), jnp.asarray(k), True)
-    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(want_p))
-
-    # Over-capacity fallback: collapse the sort axis so EVERY query fails
-    # verification (axis margins ~0) -> whole-call full scan.
-    q_flat, k_flat = q.copy(), k.copy()
-    q_flat[0, ax] *= 1e-6
-    k_flat[0, ax] *= 1e-6
-    idx_f = NB._three_nn_sorted_slab(jnp.asarray(q_flat), jnp.asarray(k_flat),
-                                     jnp.int32(ax), interpret=True)
-    want_f, _ = three_nn_pallas(jnp.asarray(q_flat), jnp.asarray(k_flat),
-                                True)
-    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(want_f))

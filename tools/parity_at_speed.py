@@ -57,6 +57,19 @@ PARITY = {"MODEL": {"COMPUTE_DTYPE": "float32"},
           "PN2": {"SORT_POINTS": False, "FPS_SHARDS": 1}}
 DEPLOY = {}   # the released YAML as-is
 
+# Single-feature ablations (VERDICT r4 #3): which deployment feature moves
+# the functional overlap off the self-noise floor?  FPS_SHARDS only acts
+# under SORT_POINTS (the sharded FPS consumes the sorted cloud), so the
+# lane-FPS effect is isolated as `sort_shards` minus `sort`.
+ABLATIONS = {
+    "bf16": {"MODEL": {"COMPUTE_DTYPE": "bfloat16"},
+             "PN2": {"SORT_POINTS": False, "FPS_SHARDS": 1}},
+    "sort": {"MODEL": {"COMPUTE_DTYPE": "float32"},
+             "PN2": {"SORT_POINTS": True, "FPS_SHARDS": 1}},
+    "sort_shards": {"MODEL": {"COMPUTE_DTYPE": "float32"},
+                    "PN2": {"SORT_POINTS": True, "FPS_SHARDS": 128}},
+}
+
 
 def _variables(net, pts, ckpt_dir):
     import jax
@@ -122,22 +135,31 @@ def compare(ckpt_dir=None, selfnoise=False):
         for name, net in (("parity", net_p), ("deploy", net_d)):
             out[name] = _run_config(net, variables, pts)
 
+    rec = _divergence_metrics(out["parity"], out["deploy"])
+    rec["mode"] = ("selfnoise (parity vs parity on permuted points)"
+                   if selfnoise else "parity vs deploy")
+    rec["weights"] = "checkpoint" if ckpt_dir else "fixed random init"
+    print(json.dumps(rec))
+
+
+def _divergence_metrics(a, b):
+    """Score-field + top-50 grasp-set agreement between two _run_config
+    outputs over the SAME points (a = reference side, b = variant)."""
     # Score field agreement (expectation over bins, the selection signal).
     def expect(score):
         p = np.exp(score - score.max(0)) / np.exp(score - score.max(0)).sum(0)
         return (p * np.arange(score.shape[0])[:, None]).sum(0)
 
-    ep, ed = expect(out["parity"]["score"]), expect(out["deploy"]["score"])
-    d_score = np.abs(ep - ed)
+    d_score = np.abs(expect(a["score"]) - expect(b["score"]))
 
-    # Top-50 candidate PO INT overlap: candidates are point-anchored; match
+    # Top-50 candidate POINT overlap: candidates are point-anchored; match
     # by translation proximity (points are identical in both runs).
     def top_positions(o, k=50):
         ordr = np.argsort(-np.where(o["valid"], o["scores"], -np.inf))[:k]
         return o["cand_point"][ordr], o["poses"][ordr]
 
-    pp, pose_p = top_positions(out["parity"])
-    pd, pose_d = top_positions(out["deploy"])
+    pp, pose_p = top_positions(a)
+    pd, pose_d = top_positions(b)
     d2 = np.linalg.norm(pp[:, None] - pd[None], axis=-1)   # (50, 50) metres
     match = d2.min(1) < 1e-4                     # same anchor point selected
     overlap = float(match.mean())
@@ -160,10 +182,7 @@ def compare(ckpt_dir=None, selfnoise=False):
     cosang = (np.einsum("nij,nij->n", rp, rd) - 1.0) / 2.0
     ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
 
-    print(json.dumps({
-        "mode": ("selfnoise (parity vs parity on permuted points)"
-                 if selfnoise else "parity vs deploy"),
-        "weights": "checkpoint" if ckpt_dir else "fixed random init",
+    return {
         "score_expectation_max_abs_delta": round(float(d_score.max()), 4),
         "score_expectation_frac_gt_0p05": round(float((d_score > 0.05).mean()), 4),
         "top50_anchor_overlap": overlap,
@@ -172,9 +191,31 @@ def compare(ckpt_dir=None, selfnoise=False):
         if match.any() else None,
         "matched_pose_R_delta_deg_max": round(float(ang.max()), 3)
         if match.any() else None,
-        "n_valid_parity": int(out["parity"]["valid"].sum()),
-        "n_valid_deploy": int(out["deploy"]["valid"].sum()),
-    }))
+        "n_valid_parity": int(a["valid"].sum()),
+        "n_valid_deploy": int(b["valid"].sum()),
+    }
+
+
+def ablate(ckpt_dir=None):
+    """Single-feature attribution of the deploy-vs-parity divergence
+    (VERDICT r4 #3): run the parity config once, then each ABLATIONS
+    variant against it with the same weights, one JSON line each."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(_load_scene(rng)[None])
+
+    _, net_p = _build(PARITY)
+    variables = _variables(net_p, pts, ckpt_dir)
+    base = _run_config(net_p, variables, pts)
+
+    for name, overrides in ABLATIONS.items():
+        _, net_v = _build(overrides)
+        res = _run_config(net_v, variables, pts)
+        rec = _divergence_metrics(base, res)
+        rec["mode"] = f"parity vs ablation:{name}"
+        rec["weights"] = "checkpoint" if ckpt_dir else "fixed random init"
+        print(json.dumps(rec), flush=True)
 
 
 def time_parity():
@@ -216,6 +257,8 @@ if __name__ == "__main__":
         compare(sys.argv[2] if len(sys.argv) > 2 else None)
     elif mode == "selfnoise":
         compare(sys.argv[2] if len(sys.argv) > 2 else None, selfnoise=True)
+    elif mode == "ablate":
+        ablate(sys.argv[2] if len(sys.argv) > 2 else None)
     elif mode == "time-parity":
         time_parity()
     else:
