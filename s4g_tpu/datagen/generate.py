@@ -169,9 +169,25 @@ def _scene_worker_init(object_meshes=None):
     # Datagen is host-side work; a spawned child must not grab the device
     # the parent holds (or hang connecting to a remote-attached platform).
     # The grading math is exact on CPU (tools/datagen_mesh_qa.py forces the
-    # same).  Runs before any task initializes a jax backend in the child.
-    os.environ["JAX_PLATFORMS"] = os.environ.get(
-        "S4G_DATAGEN_JAX_PLATFORMS", "cpu")
+    # same).  Env vars alone are NOT enough on remote-attached hosts: the
+    # image's sitecustomize registers (and may initialize) the tunnel PJRT
+    # plugin before this initializer runs, so a worker could silently
+    # compute label transfer on the TPU — whose default-precision matmuls
+    # truncate to bf16 and select different points than the sequential
+    # (CPU) parent, breaking the byte-identity contract of workers>1 vs
+    # resumed-sequential (VERDICT r4 #2).  Force the platform the way
+    # tests/conftest.py does: env + config update + backend drop.
+    from ..runtime.guard import _TUNNEL_VARS
+    plat = os.environ.get("S4G_DATAGEN_JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = plat
+    if plat == "cpu":
+        for var in _TUNNEL_VARS:
+            os.environ.pop(var, None)
+        import jax
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_platforms", "cpu")
+            from jax.extend import backend as _jexb
+            _jexb.clear_backends()
     if object_meshes is not None:
         # Mesh geometry ships ONCE per worker through initargs; putting it
         # in every job tuple would re-pickle the whole dict per scene
