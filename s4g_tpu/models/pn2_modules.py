@@ -139,12 +139,17 @@ class PointNetSAModule(nn.Module):
             # ascending indices; the exact-FPS path re-sorts above; the
             # all-points case inherits the input order) — promise it so
             # the pruned ball query skips its argsort + permute round-trip.
+            # Sorted scan order also biases first-K selection of overfull
+            # balls to the low-coordinate side — out-of-distribution for
+            # weights trained on unsorted clouds (measured grasp-overlap
+            # collapse, docs/divergences.md) — so sorted stages select a
+            # rank-STRATIFIED K-subset instead (ops/neighbors.py).
             csorted = sorted_axis is not None
             if feature is not None:
                 nbr_index, _ = ops.ball_query(
                     _cf(xyz), _cf(new_xyz), self.radius,
                     self.num_neighbours, sorted_axis=sorted_axis,
-                    centroids_sorted=csorted)
+                    centroids_sorted=csorted, stratified=csorted)
                 # ONE combined [xyz || feature] gather: a second width-3
                 # gather costs as much as the wide one (XLA row gathers are
                 # row-count bound, ~3 ns/row on v5e), so fold xyz into the
@@ -167,7 +172,7 @@ class PointNetSAModule(nn.Module):
                 _, _, group_xyz = ops.ball_query_grouped(
                     _cf(xyz), _cf(new_xyz), self.radius,
                     self.num_neighbours, sorted_axis=sorted_axis,
-                    centroids_sorted=csorted)
+                    centroids_sorted=csorted, stratified=csorted)
                 group_feature = group_xyz.astype(xyz.dtype)
 
         mlp = SharedMLP(self.mlp_channels, dtype=self.dtype, name="mlp")

@@ -155,13 +155,27 @@ def pairwise_sqdist_exact(a: Array, b: Array) -> Array:
     return jnp.sum(diff * diff, axis=-3)
 
 
-def _first_k_in_range(sqdist: Array, radius2: float, k: int):
+def _first_k_in_range(sqdist: Array, radius2: float, k: int,
+                      stratified: bool = False):
     """First-k-in-scan-order selection for one chunk of centroids.
 
     Sort-free: ranks come from a cumulative count along the scan axis, and
     the k-th in-range index is recovered by bisecting the (monotone) cumcount
     — O(N + k log N) per centroid instead of a top-k sort (which dominated
     the whole network's runtime on TPU).
+
+    stratified=True changes WHICH in-range points fill the k slots when a
+    ball holds more than k: slot s takes the in-range point of scan rank
+    floor(s * total / k) instead of rank s.  Rationale: the reference takes
+    the FIRST k in scan order (ball_query_kernel.cu:57-73) over an
+    arbitrarily-ordered cloud — statistically a uniform k-subset of the
+    ball.  When the cloud is SORTED for slab pruning (deployment), first-k
+    degenerates to the lowest-coordinate side of every ball, which is
+    out-of-distribution for weights trained on unsorted clouds (measured:
+    functional grasp overlap 0.0 vs the 0.40 permutation noise floor,
+    docs/divergences.md).  Rank-stratified selection restores a spatially
+    unbiased subset while staying deterministic and sort-free.  For
+    count <= k both modes return every in-range point (identical results).
 
     Args:
         sqdist: (M, N) squared distances.
@@ -184,11 +198,20 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     mask3 = mask.reshape(m, nb, blk_w)
     bsum = jnp.sum(mask3, axis=-1, dtype=jnp.int32)       # (M, nb)
     bcum = jnp.cumsum(bsum, axis=-1)                      # inclusive
-    count = jnp.minimum(bcum[..., -1], k)
+    total = bcum[..., -1]                                 # (M,)
+    count = jnp.minimum(total, k)
 
     target = jnp.arange(1, k + 1, dtype=jnp.int32)        # (k,)
+    if stratified:
+        # Per-centroid ranks: 1 + floor(s * total / k) when overfull
+        # (exact in int32: s * total < 64 * 2^24).
+        strided = (jnp.arange(k, dtype=jnp.int32)[None, :]
+                   * total[:, None]) // k + 1              # (M, k)
+        target = jnp.where(total[:, None] > k, strided, target[None, :])
+    else:
+        target = jnp.broadcast_to(target[None, :], (m, k))
     # b[m, s] = block containing the s-th in-range point
-    b = jnp.sum(bcum[:, None, :] < target[None, :, None], axis=-1,
+    b = jnp.sum(bcum[:, None, :] < target[:, :, None], axis=-1,
                 dtype=jnp.int32)                          # (M, k)
     b_c = jnp.minimum(b, nb - 1)
     excl = bcum - bsum                                    # exclusive cumsum
@@ -202,7 +225,7 @@ def _first_k_in_range(sqdist: Array, radius2: float, k: int):
     prefix = jnp.einsum("mkb,mb->mk", onehot.astype(jnp.float32),
                         excl.astype(jnp.float32),
                         preferred_element_type=jnp.float32)
-    local_t = target[None, :].astype(jnp.float32) - prefix
+    local_t = target.astype(jnp.float32) - prefix
 
     blk_mask = jnp.einsum("mkb,mbl->mkl", onehot.astype(jnp.bfloat16),
                           mask3.astype(jnp.bfloat16),
@@ -241,7 +264,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                               chunk: int, sorted_axis: Array,
                               slab_capacity: int,
                               centroids_sorted: bool = False,
-                              slab_route: str = "xla"):
+                              slab_route: str = "xla",
+                              stratified: bool = False):
     """Slab-pruned ball query for scenes whose points are sorted ascending
     along coordinate `sorted_axis` (traced scalar shared by the batch, or
     per-scene (B,) axes — see _axis_keys).
@@ -306,7 +330,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
             pts_b = lax.dynamic_index_in_dim(points, b_id, axis=0,
                                              keepdims=False)
             d = pairwise_sqdist_exact(cent_c, pts_b)
-            return _first_k_in_range(d, radius2, num_neighbours)
+            return _first_k_in_range(d, radius2, num_neighbours,
+                                     stratified=stratified)
         idx_f, cnt_f = lax.map(per_chunk, (cent_chunks, b_of_chunk))
         return (idx_f.reshape(b, m + pad, num_neighbours),
                 cnt_f.reshape(b, m + pad))
@@ -341,7 +366,7 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
             radius_py = float(radius2) ** 0.5
             i_k, c_k = ball_query_fused_slab_pallas(
                 points, cent_s, lo_tile, radius_py, num_neighbours,
-                slab_route == "interpret")
+                slab_route == "interpret", stratified=stratified)
             pad_k = jnp.zeros((b, pad, num_neighbours), jnp.int32)
             i_p = jnp.concatenate([i_k, pad_k], axis=1)
             c_p = jnp.concatenate([c_k, pad_k[:, :, 0]], axis=1)
@@ -365,7 +390,8 @@ def _ball_query_sorted_pruned(points: Array, centroids: Array,
                 start = jnp.clip(lo_i, 0, n - cap)
                 slab = lax.dynamic_slice(pts_b, (0, start), (3, cap))
                 d = pairwise_sqdist_exact(cent_c, slab)    # (chunk, cap)
-                idx_l, cnt = _first_k_in_range(d, radius2, num_neighbours)
+                idx_l, cnt = _first_k_in_range(d, radius2, num_neighbours,
+                                               stratified=stratified)
                 # Global indices; all-zero rows (count 0) stay zero
                 # (ball_query_kernel.cu:89-133).
                 idx_g = jnp.where(cnt[:, None] > 0, idx_l + start, 0)
@@ -395,7 +421,7 @@ def ball_query(points: Array, centroids: Array, radius: float,
                num_neighbours: int, chunk: int = 512, impl: str = "auto",
                sorted_axis: Optional[Array] = None,
                slab_capacity: int = 6144, centroids_sorted: bool = False,
-               slab_impl: Optional[str] = None):
+               slab_impl: Optional[str] = None, stratified: bool = False):
     """Ball query with reference-CUDA semantics.
 
     Default path: a chunked difference-form XLA distance pass feeding a
@@ -426,6 +452,11 @@ def ball_query(points: Array, centroids: Array, radius: float,
         slab_impl: sorted-slab route override — "pallas" (compiled kernel,
             TPU), "pallas_interpret" (the scale tier pins the real kernel
             on CPU), "xla", or None (= S4G_BQ_SLAB_IMPL default).
+        stratified: overfull balls (count > K) fill their K slots with
+            rank-stratified in-range points instead of the first K in scan
+            order — the unbiased-subset semantics sorted deployment clouds
+            need (see _first_k_in_range).  Off by default for bit-parity
+            with the reference on arbitrarily-ordered inputs.
 
     Returns:
         index: (B, M, K) int32, count: (B, M) int32.
@@ -434,14 +465,16 @@ def ball_query(points: Array, centroids: Array, radius: float,
     # static arguments (see the module-flag comment at the top of the file).
     return _ball_query_jit(points, centroids, radius, num_neighbours, chunk,
                            _resolve_bq_impl(impl), sorted_axis, slab_capacity,
-                           centroids_sorted, _resolve_slab_impl(slab_impl))
+                           centroids_sorted, _resolve_slab_impl(slab_impl),
+                           stratified)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 7, 8, 9, 10))
 def _ball_query_jit(points: Array, centroids: Array, radius: float,
                     num_neighbours: int, chunk: int, impl: str,
                     sorted_axis: Optional[Array], slab_capacity: int,
-                    centroids_sorted: bool, slab_route: str):
+                    centroids_sorted: bool, slab_route: str,
+                    stratified: bool = False):
     b, _, m = centroids.shape
     n = points.shape[2]
     radius2 = radius * radius
@@ -453,12 +486,14 @@ def _ball_query_jit(points: Array, centroids: Array, radius: float,
                                          jnp.asarray(sorted_axis, jnp.int32),
                                          slab_capacity,
                                          centroids_sorted=centroids_sorted,
-                                         slab_route=slab_route)
+                                         slab_route=slab_route,
+                                         stratified=stratified)
 
     if impl == "pallas":
         from .pallas.neighbor_kernels import ball_query_fused_pallas
         return ball_query_fused_pallas(points, centroids, radius,
-                                       num_neighbours)
+                                       num_neighbours,
+                                       stratified=stratified)
 
     pad = (-m) % chunk
     cent = jnp.pad(centroids, ((0, 0), (0, 0), (0, pad)))
@@ -473,7 +508,8 @@ def _ball_query_jit(points: Array, centroids: Array, radius: float,
         def per_batch(cent_b, pts_b):
             def per_chunk1(cent_c):
                 d = pairwise_sqdist_exact(cent_c, pts_b)
-                return _first_k_in_range(d, radius2, num_neighbours)
+                return _first_k_in_range(d, radius2, num_neighbours,
+                                         stratified=stratified)
             return lax.map(per_chunk1, cent_b)
         idx, count = jax.vmap(per_batch)(cent, points)
         idx = idx.reshape(1, m + pad, num_neighbours)[:, :m]
@@ -492,7 +528,8 @@ def _ball_query_jit(points: Array, centroids: Array, radius: float,
         pts_b = lax.dynamic_index_in_dim(points, b_id, axis=0,
                                          keepdims=False)
         d = pairwise_sqdist_exact(cent_c, pts_b)
-        return _first_k_in_range(d, radius2, num_neighbours)
+        return _first_k_in_range(d, radius2, num_neighbours,
+                                 stratified=stratified)
 
     idx, count = lax.map(per_chunk, (cent, b_of_chunk))
     idx = idx.reshape(b, m + pad, num_neighbours)[:, :m]
@@ -505,7 +542,8 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
                        sorted_axis: Optional[Array] = None,
                        slab_capacity: int = 6144,
                        centroids_sorted: bool = False,
-                       slab_impl: Optional[str] = None):
+                       slab_impl: Optional[str] = None,
+                       stratified: bool = False):
     """Ball query that ALSO returns the grouped relative coordinates
     rel = points[index] - centroid, (B, M, K, 3) f32 — the SA-stage
     grouped-xyz input (reference grouping_kernel.cu:32-53 + modules.py:44).
@@ -520,20 +558,22 @@ def ball_query_grouped(points: Array, centroids: Array, radius: float,
                                    num_neighbours, chunk, sorted_axis,
                                    slab_capacity, centroids_sorted,
                                    _resolve_bq_impl("auto"),
-                                   _resolve_slab_impl(slab_impl))
+                                   _resolve_slab_impl(slab_impl),
+                                   stratified)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6, 7, 8, 9, 10))
 def _ball_query_grouped_jit(points: Array, centroids: Array, radius: float,
                             num_neighbours: int, chunk: int,
                             sorted_axis: Optional[Array],
                             slab_capacity: int, centroids_sorted: bool,
-                            bq_impl: str, slab_route: str):
+                            bq_impl: str, slab_route: str,
+                            stratified: bool = False):
     b, _, m = centroids.shape
     idx, count = _ball_query_jit(points, centroids, radius, num_neighbours,
                                  chunk, bq_impl, sorted_axis,
                                  slab_capacity, centroids_sorted,
-                                 slab_route)
+                                 slab_route, stratified)
     g = flat_gather_rows(jnp.swapaxes(points, 1, 2).astype(jnp.float32),
                          idx.reshape(b, m * num_neighbours))
     rel = (g.reshape(b, m, num_neighbours, 3)

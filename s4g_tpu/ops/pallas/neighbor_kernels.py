@@ -144,7 +144,8 @@ BQ_K_TILE = 2048    # keys per inner step (KT/16 = 128-aligned pack width)
 
 def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
                      m16_scr, wsum_scr, bsum_scr, idx_scr,
-                     *, radius2, k_slots, nb_total, tile_axis=2, base=None):
+                     *, radius2, k_slots, nb_total, tile_axis=2, base=None,
+                     stratified=False):
     """One (centroid tile, key tile) grid step; key tiles iterate fastest.
 
     Every key tile appends its packed mask words / word popcounts / block
@@ -219,7 +220,16 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
         bound = jnp.minimum(jnp.max(total), float(k_slots)).astype(jnp.int32)
 
         def slot_body(s, _):
-            target = (s + 1).astype(jnp.float32)                   # rank
+            if stratified:
+                # Overfull balls spread their k slots over the in-range
+                # ranks: slot s -> rank floor(s * total / k) + 1 (exact in
+                # int32; see ops/neighbors.py::_first_k_in_range docstring).
+                tot_i = total.astype(jnp.int32)                    # (1, C)
+                strided = (s * tot_i) // k_slots + 1
+                target = jnp.where(tot_i > k_slots, strided,
+                                   s + 1).astype(jnp.float32)      # (1, C)
+            else:
+                target = (s + 1).astype(jnp.float32)               # rank
             inb = bcum < target                                    # (NB, C)
             # First block with bcum >= target; its exclusive prefix is the
             # largest bcum below the target (bcum is monotone over blocks).
@@ -282,14 +292,18 @@ def _bq_fused_kernel(c_ref, k_ref, pack_ref, idx_ref, cnt_ref,
         cnt_ref[...] = jnp.broadcast_to(count, (8, c_lanes))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
-                            num_neighbours: int, interpret: bool = False):
+                            num_neighbours: int, interpret: bool = False,
+                            stratified: bool = False):
     """Fused ball query with reference-CUDA semantics.
 
     Args:
         points: (B, 3, N); centroids: (B, 3, M); radius: strict < on sqdist.
         num_neighbours: K slots per centroid (multiple of 8).
+        stratified: overfull balls take rank-stratified in-range points
+            instead of the first K in scan order (sorted-cloud deployment
+            semantics — see ops/neighbors.py::_first_k_in_range).
 
     Returns:
         index: (B, M, K) int32, count: (B, M) int32.
@@ -319,7 +333,8 @@ def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
 
     grid = (b, m_pad // BQ_C_TILE, n_pad // kt)
     kernel = functools.partial(_bq_fused_kernel, radius2=radius * radius,
-                               k_slots=num_neighbours, nb_total=nb_total)
+                               k_slots=num_neighbours, nb_total=nb_total,
+                               stratified=stratified)
 
     def wrapper(c_ref, k_ref, pack_ref, idx_ref, cnt_ref, *scratch):
         kernel(c_ref.at[0], k_ref.at[0], pack_ref, idx_ref.at[0],
@@ -363,11 +378,12 @@ def ball_query_fused_pallas(points: Array, centroids: Array, radius: float,
 BQ_SLAB_TILES = 4   # key tiles per slab window (4 * BQ_K_TILE = 8192 keys)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def ball_query_fused_slab_pallas(points: Array, centroids: Array,
                                  lo_tile: Array, radius: float,
                                  num_neighbours: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 stratified: bool = False):
     """Fused ball query over per-centroid-tile key SLABS (sorted points).
 
     The caller guarantees: each scene's `points` are sorted ascending along
@@ -455,7 +471,8 @@ def ball_query_fused_slab_pallas(points: Array, centroids: Array,
         _bq_fused_kernel(c_ref.at[0], k_ref.at[0], pack_ref,
                          idx_ref.at[0], cnt_ref.at[0], *scratch,
                          radius2=radius2, k_slots=num_neighbours,
-                         nb_total=nb_slab, tile_axis=2, base=base)
+                         nb_total=nb_slab, tile_axis=2, base=base,
+                         stratified=stratified)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

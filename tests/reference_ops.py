@@ -50,6 +50,33 @@ def np_ball_query(points, centroids, radius, num_neighbours):
     return index, count
 
 
+def np_ball_query_stratified(points, centroids, radius, num_neighbours):
+    """Stratified-selection ball query: overfull balls (count > K) fill
+    slot s with the in-range point of scan rank floor(s * total / K); for
+    count <= K identical to np_ball_query (the sorted-deployment semantics,
+    s4g_tpu/ops/neighbors.py::_first_k_in_range)."""
+    b, _, n = points.shape
+    m = centroids.shape[2]
+    k = num_neighbours
+    index = np.zeros((b, m, k), dtype=np.int64)
+    count = np.zeros((b, m), dtype=np.int64)
+    r2 = radius * radius
+    for bi in range(b):
+        pts = points[bi].T
+        cents = centroids[bi].T
+        for i in range(m):
+            d = np.sum((pts - cents[i]) ** 2, axis=1)
+            inr = np.where(d < r2)[0]
+            t = len(inr)
+            count[bi, i] = min(t, k)
+            if t == 0:
+                continue
+            sel = inr[(np.arange(k) * t) // k] if t > k else inr
+            index[bi, i, :len(sel)] = sel
+            index[bi, i, len(sel):] = sel[0]
+    return index, count
+
+
 def np_three_nn(query, key):
     """reference csrc/interpolate_kernel.cu:33-81: 3 smallest squared
     distances, ascending, ties to lower index."""

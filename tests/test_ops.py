@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from s4g_tpu import ops
 from s4g_tpu.ops.sampling import farthest_point_sample
 
-from reference_ops import (np_ball_query, np_farthest_point_sample,
+from reference_ops import (np_ball_query, np_ball_query_stratified,
+                           np_farthest_point_sample,
                            np_feature_interpolate, np_group_points,
                            np_three_nn)
 
@@ -114,6 +115,50 @@ class TestBallQuery:
         idx, cnt = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents), 0.1, 4)
         assert np.all(np.asarray(idx) == 0)
         assert np.all(np.asarray(cnt) == 0)
+
+
+class TestBallQueryStratified:
+    """Rank-stratified overfull-ball selection (the sorted-deployment
+    semantics; see _first_k_in_range).  Every route must match the numpy
+    oracle, and count <= K inputs must be bit-identical to first-K."""
+
+    @pytest.mark.parametrize("b,n,m,k,r", [
+        (1, 700, 48, 8, 0.35),        # heavily overfull balls
+        (2, 1200, 64, 16, 0.2),
+    ])
+    def test_matches_oracle(self, rng, b, n, m, k, r):
+        pts = _cloud(rng, b, n)
+        cents = pts[:, :, rng.choice(n, size=m, replace=False)]
+        got_idx, got_cnt = ops.ball_query(
+            jnp.asarray(pts), jnp.asarray(cents), r, k, chunk=32,
+            stratified=True)
+        want_idx, want_cnt = np_ball_query_stratified(
+            pts.astype(np.float64), cents.astype(np.float64), r, k)
+        np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+    def test_sorted_pruned_route_matches_oracle(self, rng):
+        b, n, m, k, r = 2, 3000, 96, 16, 0.04
+        pts = np.sort(_cloud(rng, b, n), axis=2)  # ascending on every axis
+        cents = pts[:, :, ::17][:, :, :m].copy()
+        got_idx, got_cnt = ops.ball_query(
+            jnp.asarray(pts), jnp.asarray(cents), r, k,
+            sorted_axis=jnp.int32(0), slab_capacity=1024, stratified=True)
+        want_idx, want_cnt = np_ball_query_stratified(
+            pts.astype(np.float64), cents.astype(np.float64), r, k)
+        np.testing.assert_array_equal(np.asarray(got_cnt), want_cnt)
+        np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+
+    def test_underfull_identical_to_first_k(self, rng):
+        # radius small enough that no ball exceeds K -> both modes equal.
+        pts = _cloud(rng, 1, 600)
+        cents = pts[:, :, :64]
+        a = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents), 0.03, 64)
+        s = ops.ball_query(jnp.asarray(pts), jnp.asarray(cents), 0.03, 64,
+                           stratified=True)
+        assert np.asarray(a[1]).max() < 64
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(s[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(s[1]))
 
 
 class TestThreeNN:

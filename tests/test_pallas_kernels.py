@@ -44,6 +44,13 @@ def test_ball_query_fused_pallas_interpret(n, m, radius, k):
     idx_x, cnt_x = ops.ball_query(pts, cent, radius, k, impl="xla")
     np.testing.assert_array_equal(np.asarray(cnt_p), np.asarray(cnt_x))
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    # Stratified mode: same kernel, rank-spread slot targets.
+    idx_s, cnt_s = ball_query_fused_pallas(pts, cent, radius, k,
+                                           interpret=True, stratified=True)
+    idx_sx, cnt_sx = ops.ball_query(pts, cent, radius, k, impl="xla",
+                                    stratified=True)
+    np.testing.assert_array_equal(np.asarray(cnt_s), np.asarray(cnt_sx))
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_sx))
 
 
 @pytest.mark.slow
@@ -209,3 +216,12 @@ def test_ball_query_fused_slab_pallas_interpret():
                                        cents.astype(np.float64), r, k)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
     np.testing.assert_array_equal(np.asarray(cnt), want_cnt)
+    # Stratified mode (the deployment default for sorted clouds).
+    from reference_ops import np_ball_query_stratified
+    idx_s, cnt_s = ball_query_fused_slab_pallas(
+        jnp.asarray(pts), jnp.asarray(cents),
+        jnp.asarray(lo_tile, jnp.int32), r, k, True, stratified=True)
+    want_si, want_sc = np_ball_query_stratified(
+        pts.astype(np.float64), cents.astype(np.float64), r, k)
+    np.testing.assert_array_equal(np.asarray(idx_s), want_si)
+    np.testing.assert_array_equal(np.asarray(cnt_s), want_sc)

@@ -104,7 +104,7 @@ def _run_config(net, variables, pts):
     }
 
 
-def compare(ckpt_dir=None, selfnoise=False):
+def compare(ckpt_dir=None, selfnoise=False, sortnoise=False):
     """selfnoise: instead of parity-vs-deploy, run the PARITY config twice —
     once on the cloud as loaded, once with its points PERMUTED (outputs
     un-permuted for comparison).  Input point order is arbitrary in this
@@ -114,7 +114,16 @@ def compare(ckpt_dir=None, selfnoise=False):
     overlap/delta metric below under the pipeline's own arbitrariness —
     exactly the arbitrariness SORT_POINTS re-rolls (divergences.md #6).  A
     deploy-config divergence at or below this floor is indistinguishable
-    from reference-intrinsic behavior."""
+    from reference-intrinsic behavior.
+
+    sortnoise: like selfnoise but the permutation SORTS the points along
+    their widest axis — the exact reordering SORT_POINTS applies — while
+    keeping the PARITY numerics (no slab kernels, no sharded FPS).  This
+    isolates the round-5 attribution question: if parity-on-sorted-input
+    reproduces the SORT_POINTS collapse, the slab/lane-FPS kernels are
+    faithful and the divergence is the reference's own first-K scan-order
+    semantics meeting a systematically ordered input (an input-distribution
+    effect), not a kernel bug."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
@@ -125,8 +134,13 @@ def compare(ckpt_dir=None, selfnoise=False):
     variables = _variables(net_p, pts, ckpt_dir)
 
     out = {}
-    if selfnoise:
-        perm = np.random.RandomState(1).permutation(pts.shape[2])
+    if selfnoise or sortnoise:
+        if sortnoise:
+            p_np = np.asarray(pts[0])                    # (3, N)
+            axis = int(np.argmax(p_np.max(1) - p_np.min(1)))
+            perm = np.argsort(p_np[axis])
+        else:
+            perm = np.random.RandomState(1).permutation(pts.shape[2])
         out["parity"] = _run_config(net_p, variables, pts)
         res = _run_config(net_p, variables, pts[:, :, perm])
         res["score"] = res["score"][:, np.argsort(perm)]  # back to cloud order
@@ -136,7 +150,9 @@ def compare(ckpt_dir=None, selfnoise=False):
             out[name] = _run_config(net, variables, pts)
 
     rec = _divergence_metrics(out["parity"], out["deploy"])
-    rec["mode"] = ("selfnoise (parity vs parity on permuted points)"
+    rec["mode"] = ("sortnoise (parity vs parity on axis-sorted points)"
+                   if sortnoise else
+                   "selfnoise (parity vs parity on permuted points)"
                    if selfnoise else "parity vs deploy")
     rec["weights"] = "checkpoint" if ckpt_dir else "fixed random init"
     print(json.dumps(rec))
@@ -257,6 +273,8 @@ if __name__ == "__main__":
         compare(sys.argv[2] if len(sys.argv) > 2 else None)
     elif mode == "selfnoise":
         compare(sys.argv[2] if len(sys.argv) > 2 else None, selfnoise=True)
+    elif mode == "sortnoise":
+        compare(sys.argv[2] if len(sys.argv) > 2 else None, sortnoise=True)
     elif mode == "ablate":
         ablate(sys.argv[2] if len(sys.argv) > 2 else None)
     elif mode == "time-parity":
