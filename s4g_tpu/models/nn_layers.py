@@ -33,6 +33,9 @@ ENV_MLP_FUSE_MIN_ROWS = int(os.environ.get("S4G_MLP_FUSE_MIN_ROWS",
 # A/B separate the pooled SA stages from the non-pooled FP/seg chains.
 ENV_MLP_FUSE_SCOPE = os.environ.get("S4G_MLP_FUSE_SCOPE", "all")
 ENV_CAST_ACTIVATIONS = os.environ.get("S4G_CAST_ACTIVATIONS") == "1"
+# Whole-SA-stage fusion (ball query + group + chain + pool in one kernel,
+# _sa1_fused_eval): "0" off | "1" on (TPU) | "interpret" (any backend).
+ENV_SA1_FUSE = os.environ.get("S4G_SA1_FUSE", "0")
 
 
 class PointConv(nn.Module):
@@ -80,20 +83,14 @@ class SharedMLP(nn.Module):
     bn: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_eval(self, x, layers, max_pool_k: Optional[int],
-                    interpret: bool = False):
-        """Inference fast path: the whole chain (+ optional neighbour-group
-        max-pool) as ONE Pallas kernel with BatchNorm folded into each
-        layer's affine — intermediate activations never touch HBM (the
-        separate-Dense XLA path moves ~0.9 GB per forward at deployment
-        scale).  Param tree and numerics (bf16 matmuls, f32 accumulation)
-        match the normal path; BN folding is exact up to one f32 multiply.
-        """
-        from ..ops.pallas.mlp_kernels import mlp_chain_pallas
+    def _folded_params(self, layers, in_features: int):
+        """Per-layer (weight, bias) with BatchNorm folded into the affine.
 
-        # Instantiate each layer's params with a tiny dummy call (the
-        # unused compute is dead-code-eliminated), then fold BN.
-        dummy = jnp.zeros((1, x.shape[-1]), jnp.float32)
+        Instantiates each layer's params with a tiny dummy call first (the
+        unused compute is dead-code-eliminated), so this also works during
+        nn.init.
+        """
+        dummy = jnp.zeros((1, in_features), jnp.float32)
         for layer in layers:
             dummy = layer(dummy, train=False)
         variables = self.variables
@@ -110,7 +107,68 @@ class SharedMLP(nn.Module):
                                - stats["mean"].astype(jnp.float32) * inv))
             else:
                 params.append((w, tree["conv"]["bias"].astype(jnp.float32)))
+        return params
 
+    def _sa1_fused_eval(self, layers, points, centroids, pkeys, ckeys,
+                        radius: float, k: int, stratified: bool = True,
+                        interpret: bool = False):
+        """Whole-SA-stage fusion: slab ball query + rel-xyz grouping + the
+        3-layer chain + K-max-pool as ONE Pallas kernel (SURVEY §7's fused
+        design bet; ops/pallas/sa_fused_kernels.py).  The grouped (M, K, 3)
+        rel tensor and the inter-layer activations never reach HBM.
+
+        Args:
+            points: (B, 3, N) sorted along the slab axis; centroids:
+                (B, 3, M) sorted the same way; pkeys/ckeys: their (B, N) /
+                (B, M) sort-axis keys.
+
+        Returns:
+            (B, M, C3) pooled features in the compute dtype.
+        """
+        from ..ops import neighbors as nb
+        from ..ops.pallas.sa_fused_kernels import (sa1_fused_slab_pallas,
+                                                   sa1_slab_setup)
+
+        (w1, b1), (w2, b2), (w3, b3) = self._folded_params(layers, 3)
+        lo_tile, overflow = sa1_slab_setup(pkeys, ckeys, radius,
+                                           points.shape[2])
+
+        def fused(_):
+            return sa1_fused_slab_pallas(
+                points, centroids, lo_tile, radius, k, w1, b1, (w2, w3),
+                (b2, b3), interpret=interpret, stratified=stratified)
+
+        def full_scan(_):
+            # Overflow fallback: the cloud is physically sorted, so a plain
+            # full-scan stratified ball query selects the same K-subset; the
+            # chain runs with the same folded affines and bf16 rounding.
+            _, cnt, rel = nb.ball_query_grouped(
+                points, centroids, radius, k, sorted_axis=None,
+                stratified=stratified)
+            h = rel.astype(jnp.bfloat16)
+            for w, b in ((w1, b1), (w2, b2), (w3, b3)):
+                h = jnp.maximum(
+                    jnp.einsum("bmki,io->bmko", h, w.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32) + b, 0.0
+                ).astype(jnp.bfloat16)
+            pooled = jnp.max(h.astype(jnp.float32), axis=2)
+            return jnp.where(cnt[..., None] > 0, pooled, 0.0)
+
+        out = jax.lax.cond(overflow, full_scan, fused, operand=None)
+        return out.astype(self.dtype)
+
+    def _fused_eval(self, x, layers, max_pool_k: Optional[int],
+                    interpret: bool = False):
+        """Inference fast path: the whole chain (+ optional neighbour-group
+        max-pool) as ONE Pallas kernel with BatchNorm folded into each
+        layer's affine — intermediate activations never touch HBM (the
+        separate-Dense XLA path moves ~0.9 GB per forward at deployment
+        scale).  Param tree and numerics (bf16 matmuls, f32 accumulation)
+        match the normal path; BN folding is exact up to one f32 multiply.
+        """
+        from ..ops.pallas.mlp_kernels import mlp_chain_pallas
+
+        params = self._folded_params(layers, x.shape[-1])
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
         out = mlp_chain_pallas(flat, tuple(params),
@@ -122,13 +180,19 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 max_pool_k: Optional[int] = None):
+                 max_pool_k: Optional[int] = None,
+                 sa_fuse: Optional[dict] = None):
         """`max_pool_k`: when set, the output is max-pooled over the
         second-to-last (neighbour) axis, which must have that static size —
-        fused into the kernel on the TPU inference path."""
+        fused into the kernel on the TPU inference path.
+
+        `sa_fuse`: whole-SA-stage fusion (see _sa1_fused_eval) — `x` is
+        ignored; the kernel selects + groups + runs the chain itself."""
         layers = [PointConv(features, bn=self.bn, dtype=self.dtype,
                             name=f"layer{i}")
                   for i, features in enumerate(self.mlp_channels)]
+        if sa_fuse is not None:
+            return self._sa1_fused_eval(layers, **sa_fuse)
 
         impl = ENV_MLP_IMPL
         force = impl in ("pallas", "pallas_interpret")

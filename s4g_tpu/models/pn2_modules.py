@@ -167,8 +167,33 @@ class PointNetSAModule(nn.Module):
                     parts = [group_xyz] + parts
                 group_feature = jnp.concatenate(parts, axis=-1)
             else:
-                # xyz-only stage: rel-xyz comes out of ball_query_grouped
-                # as one flat row gather over the selected indices.
+                # xyz-only stage (stage 1): candidate for whole-stage fusion
+                # — ball query + grouping + chain + pool as one Pallas
+                # kernel (nn_layers._sa1_fused_eval; S4G_SA1_FUSE gates the
+                # A/B).  Falls through to the unfused route when the stage
+                # shape doesn't fit the kernel.
+                from .nn_layers import ENV_SA1_FUSE
+                fuse = (ENV_SA1_FUSE != "0" and not train and csorted
+                        and self.pool == "max" and not self.edge
+                        and len(self.mlp_channels) == 3
+                        and all(c % 128 == 0 for c in self.mlp_channels)
+                        and self.num_neighbours % 8 == 0
+                        and (ENV_SA1_FUSE == "interpret"
+                             or jax.default_backend() == "tpu"))
+                if fuse:
+                    from ..ops.neighbors import _axis_keys
+                    ax = jnp.asarray(sorted_axis, jnp.int32)
+                    pts_cf, cent_cf = _cf(xyz), _cf(new_xyz)
+                    mlp = SharedMLP(self.mlp_channels, dtype=self.dtype,
+                                    name="mlp")
+                    new_feature = mlp(None, sa_fuse=dict(
+                        points=pts_cf, centroids=cent_cf,
+                        pkeys=_axis_keys(pts_cf, ax),
+                        ckeys=_axis_keys(cent_cf, ax),
+                        radius=self.radius, k=self.num_neighbours,
+                        stratified=True,
+                        interpret=ENV_SA1_FUSE == "interpret"))
+                    return new_xyz, new_feature
                 _, _, group_xyz = ops.ball_query_grouped(
                     _cf(xyz), _cf(new_xyz), self.radius,
                     self.num_neighbours, sorted_axis=sorted_axis,

@@ -153,7 +153,8 @@ class SceneGraspDataset:
     def __init__(self, root_dir: str, num_points: int = 25600,
                  score_classes: int = 3, batch_size: int = 1,
                  num_frame_points: int = 512, t_classification: bool = True,
-                 seed: int = 0, num_removal_directions: int = 5):
+                 seed: int = 0, num_removal_directions: int = 5,
+                 cache: bool = False):
         self.files = sorted(glob.glob(os.path.join(root_dir, "*.p")))
         if not self.files:
             raise FileNotFoundError(f"no training pickles under {root_dir}")
@@ -164,11 +165,22 @@ class SceneGraspDataset:
         self.t_classification = t_classification
         self.num_removal_directions = num_removal_directions
         self.rng = np.random.RandomState(seed)
+        # cache=True keeps each view's collated sample in memory after its
+        # first load.  Collation costs ~0.2 s/view of host numpy (the random
+        # fill's setdiff/choice over the raw cloud dominates), which at
+        # deployment scale is 8x the 0.127 s/step device time — the at-scale
+        # runs were host-bound without it.  Freezing the per-epoch random
+        # fill is the trade: the fill only picks WHICH unlabeled background
+        # points pad the cloud (labels unaffected), and epoch-level
+        # stochasticity still comes from batch shuffling + augmentation.
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self):
         return len(self.files) // self.batch_size
 
     def _load_one(self, path: str) -> dict:
+        if self._cache is not None and path in self._cache:
+            return self._cache[path]
         with open(path, "rb") as f:
             data = pickle.load(f)
         sample = collate_scene(data, self.num_points, self.score_classes,
@@ -191,6 +203,8 @@ class SceneGraspDataset:
         # Zero scene_score beyond the real frames kills their R/t loss terms.
         if got < gf:
             sample["scene_score"][got:gf] = 0.0
+        if self._cache is not None:
+            self._cache[path] = sample
         return sample
 
     def __iter__(self) -> Iterator[dict]:

@@ -59,6 +59,61 @@ def build_procedural_catalog(out_dir):
     return meshes, specs
 
 
+def run_detect_qa(variables, cfg, meshes, qa_specs, num_points,
+                  qa_seed=777):
+    """Held-out scene -> render -> preprocess -> detect -> sanity stats.
+
+    Mirrors the reference's eval loop semantics (grasp_detector.py:137-185
+    thresholding + view_collision_checker filtering) on one never-trained
+    scene; returns the summary dict logged as [detect-qa].
+    """
+    import jax
+    import jax.numpy as jnp
+    from s4g_tpu.datagen.render import render_scene_views, table_mesh
+    from s4g_tpu.datagen.scene_sim import TableEnv
+    from s4g_tpu.models import build_model
+    from s4g_tpu.pipeline.postprocessing import post_process_predictions
+    from s4g_tpu.pipeline.collision import batch_view_non_collision
+    from s4g_tpu.pipeline.preprocessing import preprocess_cloud
+    from s4g_tpu.utils.math_utils import batch_transformation_inv
+
+    env = TableEnv(qa_specs, percentage=1.1, random_seed=qa_seed)
+    pose_dict = env.run()
+    views = render_scene_views({n: meshes[n] for n in pose_dict}, pose_dict,
+                               table_mesh=table_mesh(),
+                               rng=np.random.RandomState(0),
+                               width=640, height=480)
+    clean, noisy, cam = views[0]
+    net, _, _ = build_model(cfg)
+    world2cam = np.linalg.inv(cam)
+    noisy_cam = (world2cam[:3, :3] @ noisy.T + world2cam[:3, 3:4]).T
+    pre = preprocess_cloud(jnp.asarray(noisy_cam.astype(np.float32)),
+                           jax.random.key(0),
+                           num_points=num_points, capacity=131072)
+    batch_q = {"scene_points": pre.points.T[None]}
+    preds = net.apply(variables, batch_q, train=False)
+    post = post_process_predictions(
+        pre.points.T, preds["score"][0], preds["frame_R"][0],
+        preds["frame_t"][0], score_threshold=0.4, vertical_threshold=-1e9,
+        num_candidates=512, train2real=jnp.eye(4))
+    g2l = batch_transformation_inv(post.poses)
+    no_collision = batch_view_non_collision(
+        g2l, jnp.asarray(noisy_cam.astype(np.float32)))
+    valid = np.asarray(post.valid & no_collision)
+    poses_cam = np.asarray(post.poses)[valid]
+    poses_w = np.einsum("ij,njk->nik", cam.astype(np.float32), poses_cam)
+    heights = poses_w[:, 2, 3] if valid.sum() else np.zeros(0)
+    return {
+        "num_valid_grasps": int(valid.sum()),
+        "num_score_valid": int(np.asarray(post.valid).sum()),
+        "top_score": round(float(np.asarray(post.scores)[0]), 4),
+        "frac_heights_in_table_band": round(
+            float(((heights > 0.74) & (heights < 0.92)).mean()), 4)
+        if valid.sum() else None,
+        "num_points": num_points,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="/tmp/s4g_scale")
@@ -156,7 +211,7 @@ def main():
 
     ds = SceneGraspDataset(data_dir, num_points=args.num_points,
                            score_classes=3, batch_size=args.batch,
-                           num_frame_points=512, seed=0)
+                           num_frame_points=512, seed=0, cache=True)
     steps_per_epoch = max(1, len(ds))
     epochs = max(1, (args.steps + steps_per_epoch - 1) // steps_per_epoch)
 
@@ -196,7 +251,7 @@ def main():
     if os.path.isdir(val_dir) and args.val_scenes > 0:
         val_ds = SceneGraspDataset(val_dir, num_points=args.num_points,
                                    score_classes=3, batch_size=args.batch,
-                                   num_frame_points=512, seed=1)
+                                   num_frame_points=512, seed=1, cache=True)
 
     trainer = Trainer(cfg, output_dir=os.path.join(args.out, "train_out"),
                       steps_per_epoch=steps_per_epoch)
@@ -208,20 +263,8 @@ def main():
           f"({wall / max(1, steps):.3f} s/step incl. compile+host)",
           flush=True)
 
-    # Steady-state step time, measured separately from the fit wall clock.
     import jax
     from s4g_tpu.parallel.mesh import shard_batch
-    batch = next(iter(ds))
-    sharded = shard_batch(trainer.mesh, batch)
-    state, scalars = trainer._train_step(state, sharded, jax.random.key(0))
-    jax.block_until_ready(scalars)         # warm (donated-state recompile)
-    t1 = time.time()
-    reps = 10
-    for i in range(reps):
-        state, scalars = trainer._train_step(state, sharded,
-                                             jax.random.key(i))
-    jax.block_until_ready(scalars)
-    steady = (time.time() - t1) / reps
 
     # Final val pass over the held-out scenes (VERDICT r2 #8).
     val_metrics = None
@@ -235,53 +278,28 @@ def main():
                        for k, m in vm.meters.items()}
         print("[val] " + json.dumps(val_metrics), flush=True)
 
-    # Detection QA with the at-scale-trained weights at full resolution:
-    # held-out scene -> render -> preprocess -> detect -> sanity stats.
-    import jax.numpy as jnp
-    from s4g_tpu.datagen.render import render_scene_views, table_mesh
-    from s4g_tpu.datagen.scene_sim import TableEnv
-    from s4g_tpu.models import build_model
-    from s4g_tpu.pipeline.postprocessing import post_process_predictions
-    from s4g_tpu.pipeline.collision import batch_view_non_collision
-    from s4g_tpu.pipeline.preprocessing import preprocess_cloud
-    from s4g_tpu.utils.math_utils import batch_transformation_inv
-
-    qa_specs = specs_of(777)               # held-out QA scene's object draw
-    env = TableEnv(qa_specs, percentage=1.1, random_seed=777)
-    pose_dict = env.run()
-    views = render_scene_views({n: meshes[n] for n in pose_dict}, pose_dict,
-                               table_mesh=table_mesh(),
-                               rng=np.random.RandomState(0),
-                               width=640, height=480)
-    clean, noisy, cam = views[0]
-    net, _, _ = build_model(cfg)
-    world2cam = np.linalg.inv(cam)
-    noisy_cam = (world2cam[:3, :3] @ noisy.T + world2cam[:3, 3:4]).T
-    pre = preprocess_cloud(jnp.asarray(noisy_cam.astype(np.float32)),
-                           jax.random.key(0),
-                           num_points=args.num_points, capacity=131072)
-    batch_q = {"scene_points": pre.points.T[None]}
-    preds = net.apply(state.variables, batch_q, train=False)
-    post = post_process_predictions(
-        pre.points.T, preds["score"][0], preds["frame_R"][0],
-        preds["frame_t"][0], score_threshold=0.4, vertical_threshold=-1e9,
-        num_candidates=512, train2real=jnp.eye(4))
-    g2l = batch_transformation_inv(post.poses)
-    no_collision = batch_view_non_collision(
-        g2l, jnp.asarray(noisy_cam.astype(np.float32)))
-    valid = np.asarray(post.valid & no_collision)
-    poses_cam = np.asarray(post.poses)[valid]
-    poses_w = np.einsum("ij,njk->nik", cam.astype(np.float32), poses_cam)
-    heights = poses_w[:, 2, 3] if valid.sum() else np.zeros(0)
-    detect_qa = {
-        "num_valid_grasps": int(valid.sum()),
-        "top_score": round(float(np.asarray(post.scores)[0]), 4),
-        "frac_heights_in_table_band": round(
-            float(((heights > 0.74) & (heights < 0.92)).mean()), 4)
-        if valid.sum() else None,
-        "num_points": args.num_points,
-    }
+    # Detection QA with the at-scale-trained weights at full resolution.
+    # MUST run on the just-trained state BEFORE the steady-state timing
+    # loop below: _train_step donates + mutates the state, so the r4 run's
+    # QA silently evaluated weights 11 extra steps overfit to one repeated
+    # batch (its logged 0-valid-grasp result; the saved checkpoint gives 2).
+    detect_qa = run_detect_qa(state.variables, cfg, meshes, specs_of(777),
+                              args.num_points)
     print("[detect-qa] " + json.dumps(detect_qa), flush=True)
+
+    # Steady-state step time, measured separately from the fit wall clock.
+    # Runs LAST: it trains (and donates) the state.
+    batch = next(iter(ds))
+    sharded = shard_batch(trainer.mesh, batch)
+    state, scalars = trainer._train_step(state, sharded, jax.random.key(0))
+    jax.block_until_ready(scalars)         # warm (donated-state recompile)
+    t1 = time.time()
+    reps = 10
+    for i in range(reps):
+        state, scalars = trainer._train_step(state, sharded,
+                                             jax.random.key(i))
+    jax.block_until_ready(scalars)
+    steady = (time.time() - t1) / reps
 
     summary = {
         "steps": steps,
