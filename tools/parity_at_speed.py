@@ -41,6 +41,40 @@ def _load_scene(rng, n=25600):
     return cloud[:, sel]
 
 
+def _load_qa_scene(out_dir, rng, n=25600, qa_seed=777):
+    """In-distribution scene: the at-scale run's held-out QA composition
+    (tools/train_at_scale.py specs_of(777)), rendered and camera-framed.
+
+    The bundled real scene is OUT of distribution for a checkpoint trained
+    on the procedural catalog: its score field there is noisy, so the
+    top-50 set is chaotic under ANY perturbation and the selfnoise floor
+    saturates toward 0 — measured 0.04 at the r5 checkpoint, making
+    deploy-vs-parity overlap unreadable.  On a scene from the training
+    distribution the field is sharp and the floor meaningful."""
+    from s4g_tpu.datagen.render import render_scene_views, table_mesh
+    from s4g_tpu.datagen.scene_sim import TableEnv
+    from tools.train_at_scale import build_procedural_catalog
+
+    meshes, base_specs = build_procedural_catalog(out_dir)
+    names = sorted(meshes)
+    r = np.random.RandomState(10_000 + qa_seed)
+    k = int(r.randint(4, 7))
+    picked = r.choice(len(names), size=k, replace=False)
+    qa_specs = [base_specs[names[i]] for i in picked]
+    env = TableEnv(qa_specs, percentage=1.1, random_seed=qa_seed)
+    pose_dict = env.run()
+    views = render_scene_views({nm: meshes[nm] for nm in pose_dict},
+                               pose_dict, table_mesh=table_mesh(),
+                               rng=np.random.RandomState(0),
+                               width=640, height=480)
+    _, noisy, cam = views[0]
+    world2cam = np.linalg.inv(cam)
+    cloud = (world2cam[:3, :3] @ noisy.T
+             + world2cam[:3, 3:4]).astype(np.float32)    # (3, n_view)
+    sel = rng.choice(cloud.shape[1], n, replace=cloud.shape[1] < n)
+    return cloud[:, sel]
+
+
 def _build(cfg_overrides):
     from s4g_tpu.configs.config import load_cfg_from_file
     from s4g_tpu.models import build_model
@@ -104,7 +138,8 @@ def _run_config(net, variables, pts):
     }
 
 
-def compare(ckpt_dir=None, selfnoise=False, sortnoise=False):
+def compare(ckpt_dir=None, selfnoise=False, sortnoise=False,
+            scene="real"):
     """selfnoise: instead of parity-vs-deploy, run the PARITY config twice —
     once on the cloud as loaded, once with its points PERMUTED (outputs
     un-permuted for comparison).  Input point order is arbitrary in this
@@ -127,7 +162,10 @@ def compare(ckpt_dir=None, selfnoise=False, sortnoise=False):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    pts = jnp.asarray(_load_scene(rng)[None])            # (1, 3, 25600)
+    if scene.startswith("qa:"):
+        pts = jnp.asarray(_load_qa_scene(scene[3:], rng)[None])
+    else:
+        pts = jnp.asarray(_load_scene(rng)[None])        # (1, 3, 25600)
 
     _, net_p = _build(PARITY)
     _, net_d = _build(DEPLOY)
@@ -155,6 +193,7 @@ def compare(ckpt_dir=None, selfnoise=False, sortnoise=False):
                    "selfnoise (parity vs parity on permuted points)"
                    if selfnoise else "parity vs deploy")
     rec["weights"] = "checkpoint" if ckpt_dir else "fixed random init"
+    rec["scene"] = scene
     print(json.dumps(rec))
 
 
@@ -212,14 +251,17 @@ def _divergence_metrics(a, b):
     }
 
 
-def ablate(ckpt_dir=None):
+def ablate(ckpt_dir=None, scene="real"):
     """Single-feature attribution of the deploy-vs-parity divergence
     (VERDICT r4 #3): run the parity config once, then each ABLATIONS
     variant against it with the same weights, one JSON line each."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    pts = jnp.asarray(_load_scene(rng)[None])
+    if scene.startswith("qa:"):
+        pts = jnp.asarray(_load_qa_scene(scene[3:], rng)[None])
+    else:
+        pts = jnp.asarray(_load_scene(rng)[None])
 
     _, net_p = _build(PARITY)
     variables = _variables(net_p, pts, ckpt_dir)
@@ -231,6 +273,7 @@ def ablate(ckpt_dir=None):
         rec = _divergence_metrics(base, res)
         rec["mode"] = f"parity vs ablation:{name}"
         rec["weights"] = "checkpoint" if ckpt_dir else "fixed random init"
+        rec["scene"] = scene
         print(json.dumps(rec), flush=True)
 
 
@@ -269,14 +312,17 @@ def time_parity():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    scene = sys.argv[3] if len(sys.argv) > 3 else "real"
     if mode == "compare":
-        compare(sys.argv[2] if len(sys.argv) > 2 else None)
+        compare(sys.argv[2] if len(sys.argv) > 2 else None, scene=scene)
     elif mode == "selfnoise":
-        compare(sys.argv[2] if len(sys.argv) > 2 else None, selfnoise=True)
+        compare(sys.argv[2] if len(sys.argv) > 2 else None, selfnoise=True,
+                scene=scene)
     elif mode == "sortnoise":
-        compare(sys.argv[2] if len(sys.argv) > 2 else None, sortnoise=True)
+        compare(sys.argv[2] if len(sys.argv) > 2 else None, sortnoise=True,
+                scene=scene)
     elif mode == "ablate":
-        ablate(sys.argv[2] if len(sys.argv) > 2 else None)
+        ablate(sys.argv[2] if len(sys.argv) > 2 else None, scene=scene)
     elif mode == "time-parity":
         time_parity()
     else:
