@@ -23,9 +23,10 @@ clouds, see ops/neighbors.py::_first_k_in_range) — bit-identical to the
 unfused sorted route.
 
 Exactness notes:
-* The one-hot extraction matmuls run at HIGH (bf16x3) precision so the selected
+* The one-hot extraction matmuls run at HIGHEST precision (exact f32
+  emulation; Mosaic lowers only DEFAULT/HIGHEST) so the selected
   coordinates come out exactly (0/1 times x recombines to x under the
-  bf16x3 pass split); rel = key - centroid is then an exact f32 subtract.
+  pass split); rel = key - centroid is then an exact f32 subtract.
   Computing rel from bf16-rounded coordinates instead would lose ~20% of a
   2 cm offset to cancellation (coords ~1 m, bf16 abs err ~4 mm).
 * The MLP matmuls run in the backbone compute dtype (bf16 inputs, f32
@@ -63,7 +64,7 @@ def _coord_cols(planes_ref):
     return lax.dot_general(planes_ref[:], eye,
                            dimension_numbers=(((0,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGH)
+                           precision=lax.Precision.HIGHEST)
 
 
 def _pack_matrix(kt: int) -> Array:
@@ -228,7 +229,7 @@ def _sa1_kernel(lo_ref, c_blk, k_blk, pack_ref, w1_ref, b1_ref, w2_ref,
             col = lax.dot_general(
                 eye_c, idx_row, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGH)                   # (C, 1)
+                precision=lax.Precision.HIGHEST)                   # (C, 1)
             b_col = jnp.floor(col * (1.0 / 128.0))                 # exact
             w_col = col - b_col * 128.0                            # 0..127
 
@@ -239,7 +240,7 @@ def _sa1_kernel(lo_ref, c_blk, k_blk, pack_ref, w1_ref, b1_ref, w2_ref,
             r_blk = lax.dot_general(
                 oh_b, x2, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGH)                   # (C, 384)
+                precision=lax.Precision.HIGHEST)                   # (C, 384)
             lane_oh = (w_col.astype(jnp.int32) == iota_ln
                        ).astype(jnp.float32)                       # (C, 128)
             sel_x = jnp.sum(lane_oh * r_blk[:, 0:128], axis=1,
@@ -282,7 +283,7 @@ def _sa1_kernel(lo_ref, c_blk, k_blk, pack_ref, w1_ref, b1_ref, w2_ref,
         cnt_col = lax.dot_general(
             eye_c, count, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGH)                       # (C, 1)
+            precision=lax.Precision.HIGHEST)                       # (C, 1)
         out_ref[...] = jnp.where(cnt_col > 0, out_scr[:], 0.0)
 
 
