@@ -50,10 +50,22 @@ def sample_mesh_surface(vertices: np.ndarray, triangles: np.ndarray,
 
 def grade_object(vertices: np.ndarray, triangles: np.ndarray,
                  num_points: int = 2000, voxel: float = 0.0025,
-                 rng: np.random.RandomState | None = None) -> dict:
+                 rng: np.random.RandomState | None = None,
+                 frame_stride: int = 1) -> dict:
     """Per-object precompute: surface sample -> normals -> Darboux frames ->
     grade both frame orientations (reference
-    data_object_darboux_generator.py:29-129)."""
+    data_object_darboux_generator.py:29-129).
+
+    frame_stride > 1 is a grading-budget control for very dense meshes:
+    only every stride-th point's frame is graded (cost is
+    O(graded_frames x cloud)), while the EVALUATED cloud keeps the full
+    reference 2.5 mm density — so close-region counts and antipodal scores
+    of graded points stay exact; ungraded points get zero scores and
+    simply fail the label-transfer magic formula (thinner label support,
+    identical score semantics).  A coarser `voxel` instead would corrupt
+    the scores themselves: search_score is a close-region POINT COUNT
+    calibrated to 2.5 mm density (the >50 threshold), measured collapsing
+    to 0 labels at 20 mm."""
     rng = rng or np.random.RandomState(0)
     cloud = sample_mesh_surface(vertices, triangles,
                                 max(num_points, len(vertices) * 10), rng)
@@ -75,19 +87,30 @@ def grade_object(vertices: np.ndarray, triangles: np.ndarray,
                                         jnp.asarray(normals))
     homo = np.concatenate(
         [cloud.T, np.ones((1, len(cloud)))]).astype(np.float32)
-    search, antipodal = grade_frames(
-        jnp.asarray(cloud), jnp.asarray(normals.T), frames,
-        jnp.asarray(homo), chunk=64)
-    inv_search, inv_antipodal = grade_frames(
-        jnp.asarray(cloud), jnp.asarray(normals.T), inv_frames,
-        jnp.asarray(homo), chunk=64)
+    idx = np.arange(0, len(cloud), max(1, frame_stride))
+    sub_search, sub_antipodal = grade_frames(
+        jnp.asarray(cloud[idx]), jnp.asarray(normals.T),
+        jnp.asarray(np.asarray(frames)[idx]), jnp.asarray(homo), chunk=64)
+    sub_inv_search, sub_inv_antipodal = grade_frames(
+        jnp.asarray(cloud[idx]), jnp.asarray(normals.T),
+        jnp.asarray(np.asarray(inv_frames)[idx]), jnp.asarray(homo),
+        chunk=64)
+
+    def _scatter(sub):
+        sub = np.asarray(sub)
+        if frame_stride <= 1:
+            return sub
+        full = np.zeros((len(cloud),) + sub.shape[1:], sub.dtype)
+        full[idx] = sub
+        return full
+
     return {
         "cloud": cloud, "normal": normals,
         "frame": np.asarray(frames), "inv_frame": np.asarray(inv_frames),
-        "search_score": np.asarray(search),
-        "inv_search_score": np.asarray(inv_search),
-        "antipodal_score": np.asarray(antipodal),
-        "inv_antipodal_score": np.asarray(inv_antipodal),
+        "search_score": _scatter(sub_search),
+        "inv_search_score": _scatter(sub_inv_search),
+        "antipodal_score": _scatter(sub_antipodal),
+        "inv_antipodal_score": _scatter(sub_inv_antipodal),
     }
 
 

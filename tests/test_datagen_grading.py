@@ -201,3 +201,31 @@ class TestSceneCompose:
         np.testing.assert_allclose(scene["normal"], obj["normal"], atol=1e-8)
         assert scene["frame"].shape == (10, 3, 3)
         assert scene["label"].shape == (10,)
+
+
+class TestGradeObjectStride:
+    def test_frame_stride_matches_full_on_graded_rows(self):
+        """frame_stride grades a subset against the SAME full-density cloud:
+        graded rows match the stride-1 run exactly, ungraded rows are zero
+        (they fail the label-transfer magic formula downstream)."""
+        from s4g_tpu.datagen.generate import grade_object
+        from s4g_tpu.datagen.mesh_tools import make_box
+
+        verts, tris = make_box()
+        full = grade_object(verts, tris, rng=np.random.RandomState(3))
+        strided = grade_object(verts, tris, rng=np.random.RandomState(3),
+                               frame_stride=3)
+        n = len(full["cloud"])
+        assert len(strided["cloud"]) == n
+        np.testing.assert_array_equal(strided["cloud"], full["cloud"])
+        np.testing.assert_array_equal(strided["frame"], full["frame"])
+        idx = np.arange(0, n, 3)
+        mask = np.zeros(n, bool)
+        mask[idx] = True
+        for key in ("search_score", "inv_search_score",
+                    "antipodal_score", "inv_antipodal_score"):
+            np.testing.assert_allclose(strided[key][idx], full[key][idx],
+                                       rtol=0, atol=0, err_msg=key)
+            assert not strided[key][~mask].any(), key
+        # the graded subset must actually carry signal on a graspable box
+        assert full["search_score"][idx].max() > 0

@@ -59,6 +59,72 @@ def build_procedural_catalog(out_dir):
     return meshes, specs
 
 
+REAL_MESH_OBJ = "/root/reference/objects/mesh/camera.obj"
+
+
+def build_real_mesh_catalog(out_dir, frame_stride=8,
+                            extra_cache_dirs=()):
+    """The bundled real mesh (the reference's `objects/mesh/camera.obj`,
+    20,222 verts — the only real asset on this zero-egress host; the
+    118-mesh YCB catalog, dataset_config.py:3-56, is not downloadable) at
+    the same 3 scale variants as the procedural classes.
+
+    Pre-grades each variant with a strided frame budget (every 8th
+    surface point's frame, cloud density unchanged — see
+    generate.grade_object): full-resolution grading of this mesh measured
+    ~33 min/scale on the 1-CPU host (BASELINE.md mesh-QA section), which
+    would dwarf a smoke run, and grading cost is linear in graded frames.
+    Seeds the factory's per-object cache so generate_scenes skips its
+    full regrade.  MuJoCo collides the mesh by convex hull — no V-HACD
+    binary ships on this host (the reference pre-decomposes its meshes
+    offline, render/plain_vhacd.py; mesh_tools.vhacd_decompose wraps the
+    same CLI for when one exists).
+    """
+    import pickle
+
+    from s4g_tpu.datagen.generate import grade_object
+    from s4g_tpu.datagen.mesh_tools import load_obj, save_stl, scale_variants
+    from s4g_tpu.datagen.scene_sim import ObjectSpec
+
+    asset_dir = os.path.join(out_dir, "assets")
+    os.makedirs(asset_dir, exist_ok=True)
+    verts, tris = load_obj(REAL_MESH_OBJ)
+    meshes, specs = {}, {}
+    for k, v_scaled in scale_variants(verts).items():
+        name = f"camera#{k}"
+        path = os.path.join(asset_dir, f"camera_{k}.stl")
+        if not os.path.exists(path):
+            save_stl(path, v_scaled, tris)
+        meshes[name] = (v_scaled.astype(np.float64), tris)
+        specs[name] = ObjectSpec(name=name, geom_type="mesh",
+                                 mesh_files=[path])
+        data = None                      # grade at most once per variant
+        for cache_root in (out_dir, *extra_cache_dirs):
+            obj_dir = os.path.join(cache_root, "single_object_data")
+            os.makedirs(obj_dir, exist_ok=True)
+            cache = os.path.join(obj_dir, f"{name}.p")
+            if os.path.exists(cache):
+                continue
+            if data is None:
+                tic = time.time()
+                data = grade_object(meshes[name][0], tris,
+                                    frame_stride=frame_stride,
+                                    rng=np.random.RandomState(k))
+                n_graded = int((np.asarray(
+                    data["search_score"]).reshape(
+                        len(data["cloud"]), -1) > 0).any(1).sum())
+                print(f"[real-mesh] graded {name}: "
+                      f"{len(data['cloud'])} cloud points, "
+                      f"~{n_graded} frame-graded, in "
+                      f"{time.time() - tic:.0f}s "
+                      f"(frame_stride {frame_stride})", flush=True)
+            tmp = f"{cache}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(data, f)
+            os.replace(tmp, cache)
+    return meshes, specs
+
+
 def run_detect_qa(variables, cfg, meshes, qa_specs, num_points,
                   qa_seed=777):
     """Held-out scene -> render -> preprocess -> detect -> sanity stats.
@@ -135,14 +201,20 @@ def main():
                              "workers>1 pre-grades shared objects, which "
                              "re-rolls scene 0's render-noise draws vs a "
                              "cold sequential run)")
-    parser.add_argument("--object-set", choices=("box", "procedural"),
+    parser.add_argument("--object-set",
+                        choices=("box", "procedural", "mixed"),
                         default="box",
                         help="'box': 4 box sizes (the round-2 run). "
                              "'procedural': the full 11-class watertight "
                              "inventory x 3 scale variants (33 objects, "
                              "mesh geoms; the reference's 118-mesh YCB "
                              "catalog analog, dataset_config.py:3-56) with "
-                             "4-6 objects sampled per scene")
+                             "4-6 objects sampled per scene. "
+                             "'mixed': procedural + the bundled REAL mesh "
+                             "(reference objects/mesh/camera.obj, the only "
+                             "real asset on this zero-egress host) at the "
+                             "same 3 scale variants, with one real variant "
+                             "forced into every other scene")
     args = parser.parse_args()
 
     from s4g_tpu.configs.config import load_cfg_from_dict
@@ -161,6 +233,13 @@ def main():
         specs_of = lambda sid: list(base_specs.values())
     else:
         meshes, base_specs = build_procedural_catalog(args.out)
+        real_names = []
+        if args.object_set == "mixed":
+            real_meshes, real_specs = build_real_mesh_catalog(
+                args.out, extra_cache_dirs=[os.path.join(args.out, "val")])
+            meshes.update(real_meshes)
+            base_specs.update(real_specs)
+            real_names = sorted(real_meshes)
         names = sorted(meshes)
 
         def specs_of(sid):
@@ -170,7 +249,15 @@ def main():
             r = np.random.RandomState(10_000 + sid)
             k = int(r.randint(4, 7))
             picked = r.choice(len(names), size=k, replace=False)
-            return [base_specs[names[i]] for i in picked]
+            chosen = [names[i] for i in picked]
+            if real_names and sid % 2 == 0:
+                # guarantee real-mesh coverage: force one real variant
+                # into every even scene (replacing the last draw if the
+                # scene didn't sample one already)
+                forced = real_names[sid % len(real_names)]
+                if not any(n in real_names for n in chosen):
+                    chosen[-1] = forced
+            return [base_specs[n] for n in chosen]
 
     data_dir = os.path.join(args.out, "merged_data")
     val_root = os.path.join(args.out, "val")
@@ -199,6 +286,12 @@ def main():
               flush=True)
         from s4g_tpu.datagen.stats import dataset_statistics
         stats = dataset_statistics(data_dir)
+        if args.object_set != "box":
+            # auditability: which objects each scene drew (the 'real-mesh
+            # rows' for mixed runs are the scenes listing camera#k)
+            stats["scene_objects"] = {
+                str(s): [sp.name for sp in specs_of(s)]
+                for s in range(args.scenes)}
         stats_path = os.path.join(args.out, "dataset_stats.json")
         with open(stats_path, "w") as f:
             json.dump(stats, f, indent=1)
