@@ -26,6 +26,7 @@ framework checkpoint (pass the at-scale run's dir) or a fixed random init.
 
 import dataclasses
 import json
+import os
 import sys
 
 import numpy as np
@@ -41,16 +42,10 @@ def _load_scene(rng, n=25600):
     return cloud[:, sel]
 
 
-def _load_qa_scene(out_dir, rng, n=25600, qa_seed=777):
-    """In-distribution scene: the at-scale run's held-out QA composition
-    (tools/train_at_scale.py specs_of(777)), rendered and camera-framed.
-
-    The bundled real scene is OUT of distribution for a checkpoint trained
-    on the procedural catalog: its score field there is noisy, so the
-    top-50 set is chaotic under ANY perturbation and the selfnoise floor
-    saturates toward 0 — measured 0.04 at the r5 checkpoint, making
-    deploy-vs-parity overlap unreadable.  On a scene from the training
-    distribution the field is sharp and the floor meaningful."""
+def _qa_scene_assets(out_dir, qa_seed=777):
+    """Simulate + render the at-scale run's held-out QA composition
+    (tools/train_at_scale.py specs_of(777)).  Returns
+    (pose_dict, (clean, noisy, cam) first view)."""
     from s4g_tpu.datagen.render import render_scene_views, table_mesh
     from s4g_tpu.datagen.scene_sim import TableEnv
     from tools.train_at_scale import build_procedural_catalog
@@ -67,7 +62,20 @@ def _load_qa_scene(out_dir, rng, n=25600, qa_seed=777):
                                pose_dict, table_mesh=table_mesh(),
                                rng=np.random.RandomState(0),
                                width=640, height=480)
-    _, noisy, cam = views[0]
+    return pose_dict, views[0]
+
+
+def _load_qa_scene(out_dir, rng, n=25600, qa_seed=777):
+    """In-distribution scene: the at-scale run's held-out QA composition
+    (tools/train_at_scale.py specs_of(777)), rendered and camera-framed.
+
+    The bundled real scene is OUT of distribution for a checkpoint trained
+    on the procedural catalog: its score field there is noisy, so the
+    top-50 set is chaotic under ANY perturbation and the selfnoise floor
+    saturates toward 0 — measured 0.04 at the r5 checkpoint, making
+    deploy-vs-parity overlap unreadable.  On a scene from the training
+    distribution the field is sharp and the floor meaningful."""
+    _, (_, noisy, cam) = _qa_scene_assets(out_dir, qa_seed)
     world2cam = np.linalg.inv(cam)
     cloud = (world2cam[:3, :3] @ noisy.T
              + world2cam[:3, 3:4]).astype(np.float32)    # (3, n_view)
@@ -251,6 +259,90 @@ def _divergence_metrics(a, b):
     }
 
 
+def quality(ckpt_dir=None, scene="qa:/tmp/s4g_scale_r4", top=50):
+    """Ground-truth quality of each config's top-K grasps (VERDICT r4 #3).
+
+    The deployment features that survive ablation (sharded FPS, stratified
+    overfull-ball fill under SORT_POINTS) are by-design rule changes inside
+    the pipeline's own arbitrariness class: per-point score fields diverge
+    by the permutation noise floor (measured 0.822 vs floor 0.822 max
+    delta at the r5 checkpoint), but the winner-take-all top-50 race
+    amplifies near-ties, so SET overlap under-states behavioral parity.
+    The operative question for a grasp system is whether the deployment
+    config's winners are equally GOOD grasps — so grade both configs'
+    top-K against the composed labeled scene (datagen ground truth,
+    pipeline/eval_cloud.py::eval_frames: antipodal score, gripper
+    collision, multi-object straddle; reference eval_point_cloud.py:64-113
+    semantics)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from s4g_tpu.datagen.scene_compose import compose_scene
+    from s4g_tpu.pipeline.eval_cloud import eval_frames
+    from s4g_tpu.pipeline.postprocessing import REAL2TRAIN
+    from s4g_tpu.utils.math_utils import batch_transformation_inv
+
+    assert scene.startswith("qa:"), "quality mode needs the labeled QA scene"
+    out_dir = scene[3:]
+    pose_dict, (_, noisy, cam) = _qa_scene_assets(out_dir)
+
+    # ground truth: composed labeled scene in WORLD frame
+    object_data = {}
+    for name in pose_dict:
+        with open(os.path.join(out_dir, "single_object_data",
+                               f"{name}.p"), "rb") as f:
+            object_data[name] = pickle.load(f)
+    sc = compose_scene(pose_dict, object_data)
+    cloud_w = jnp.asarray(np.asarray(sc["cloud"], np.float32))
+    normals_w = jnp.asarray(np.asarray(sc["normal"], np.float32))
+    labels_w = jnp.asarray(np.asarray(sc["label"], np.int32))
+
+    # identical camera-frame input for both configs
+    rng = np.random.RandomState(0)
+    world2cam = np.linalg.inv(cam)
+    cl = (world2cam[:3, :3] @ noisy.T
+          + world2cam[:3, 3:4]).astype(np.float32)
+    sel = rng.choice(cl.shape[1], 25600, replace=cl.shape[1] < 25600)
+    pts = jnp.asarray(cl[:, sel][None])
+
+    rec = {"mode": f"top{top} ground-truth quality, parity vs deploy",
+           "weights": "checkpoint" if ckpt_dir else "fixed random init",
+           "scene": scene}
+    for tag, overrides in (("parity", PARITY), ("deploy", DEPLOY)):
+        _, net = _build(overrides)
+        variables = _variables(net, pts, ckpt_dir)
+        res = _run_config(net, variables, pts)
+        order = np.argsort(
+            -np.where(res["valid"], res["scores"], -np.inf))[:top]
+        # post_process_predictions returns TRAIN2REAL @ pose (poses in the
+        # robot-camera convention).  Here the model input IS the render
+        # camera = train frame, so undo that factor before lifting to world
+        # — without this every grasp misses the cloud and grades as an
+        # empty-close-region "multi object".
+        poses_cam = np.einsum("ij,njk->nik",
+                              REAL2TRAIN.astype(np.float32),
+                              res["poses"][order])          # (top, 4, 4)
+        poses_w = np.einsum("ij,njk->nik", cam.astype(np.float32),
+                            poses_cam)
+        g2l = batch_transformation_inv(jnp.asarray(poses_w))
+        ev = eval_frames(g2l, cloud_w, normals_w, labels_w)
+        anti = np.asarray(ev.antipodal_score)
+        rec[tag] = {
+            "num_scored": int(np.asarray(res["valid"]).sum()),
+            "collision_rate": round(float(np.asarray(
+                ev.collision).mean()), 4),
+            "multi_object_rate": round(float(np.asarray(
+                ev.multi_objects).mean()), 4),
+            "frac_good": round(float((anti > 0).mean()), 4),
+            "antipodal_mean": round(float(anti.mean()), 4),
+            "antipodal_mean_good": round(float(anti[anti > 0].mean()), 4)
+            if (anti > 0).any() else None,
+            "antipodal_max": round(float(anti.max()), 4),
+        }
+    print(json.dumps(rec), flush=True)
+
+
 def ablate(ckpt_dir=None, scene="real"):
     """Single-feature attribution of the deploy-vs-parity divergence
     (VERDICT r4 #3): run the parity config once, then each ABLATIONS
@@ -323,6 +415,10 @@ if __name__ == "__main__":
                 scene=scene)
     elif mode == "ablate":
         ablate(sys.argv[2] if len(sys.argv) > 2 else None, scene=scene)
+    elif mode == "quality":
+        quality(sys.argv[2] if len(sys.argv) > 2 else None,
+                scene=scene if scene.startswith("qa:")
+                else "qa:/tmp/s4g_scale_r4")
     elif mode == "time-parity":
         time_parity()
     else:
