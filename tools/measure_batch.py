@@ -36,6 +36,21 @@ def main():
     from s4g_tpu.utils.math_utils import batch_transformation_inv
 
     cfg = load_cfg_from_file("/root/repo/s4g_tpu/configs/curvature_model.yaml")
+    # Deployment-feature A/B knobs (parity_at_speed measures the OUTPUT
+    # divergence of the same features; this measures their perf value).
+    import dataclasses
+    import os
+    pn2_over = {}
+    if os.environ.get("S4G_SORT_POINTS") is not None:
+        on = os.environ["S4G_SORT_POINTS"] == "1"
+        pn2_over["SORT_POINTS"] = on
+        if not on:
+            pn2_over["FPS_SHARDS"] = 1  # sharded FPS needs the sorted cloud
+    if os.environ.get("S4G_FPS_SHARDS") is not None:
+        pn2_over["FPS_SHARDS"] = int(os.environ["S4G_FPS_SHARDS"])
+    if pn2_over:
+        cfg = dataclasses.replace(cfg, MODEL=dataclasses.replace(
+            cfg.MODEL, PN2=dataclasses.replace(cfg.MODEL.PN2, **pn2_over)))
     net, _, _ = build_model(cfg)
     rng = np.random.RandomState(0)
 
