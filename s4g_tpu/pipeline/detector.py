@@ -369,6 +369,14 @@ class GraspDetector:
         host + dispatch + device per frame; the stream pays
         max(device, host) once the pipe is full — the serving analog of
         the reference's threaded DataLoader prefetch.
+
+        Device->host copies are started eagerly at submit time
+        (copy_to_host_async): without this every yield blocks a full
+        fetch round-trip that the runtime only begins when np.asarray is
+        called, serializing one transfer latency per frame no matter the
+        pipeline depth — measured as ZERO stream benefit on a
+        remote-attached chip in round 4.  With eager copies the fetch of
+        frame i rides the link while frames i+1..i+depth compute.
         """
         from collections import deque
         inflight: deque = deque()
@@ -379,10 +387,12 @@ class GraspDetector:
                 cloud = cloud.T
             padded, valid = self._pad_cloud(cloud)
             self._key, sub = jax.random.split(self._key)
-            return self._detect_fn(self.variables, padded, valid, sub,
-                                   float(score_threshold),
-                                   float(verticalness_threshold),
-                                   num_selected, bool(collision_check))
+            out = self._detect_fn(self.variables, padded, valid, sub,
+                                  float(score_threshold),
+                                  float(verticalness_threshold),
+                                  num_selected, bool(collision_check))
+            jax.tree.map(lambda x: x.copy_to_host_async(), out)
+            return out
 
         for cloud in clouds:
             inflight.append(submit(cloud))
