@@ -176,6 +176,12 @@ def run_detect_qa(variables, cfg, meshes, qa_specs, num_points,
         "frac_heights_in_table_band": round(
             float(((heights > 0.74) & (heights < 0.92)).mean()), 4)
         if valid.sum() else None,
+        # distribution, to distinguish an uncalibrated score head (spread
+        # everywhere) from a frame bug (systematic offset) when the band
+        # fraction is low
+        "heights_min_med_max": [round(float(v), 3) for v in (
+            heights.min(), np.median(heights), heights.max())]
+        if valid.sum() else None,
         "num_points": num_points,
     }
 
