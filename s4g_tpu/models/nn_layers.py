@@ -34,8 +34,12 @@ ENV_MLP_FUSE_MIN_ROWS = int(os.environ.get("S4G_MLP_FUSE_MIN_ROWS",
 ENV_MLP_FUSE_SCOPE = os.environ.get("S4G_MLP_FUSE_SCOPE", "all")
 ENV_CAST_ACTIVATIONS = os.environ.get("S4G_CAST_ACTIVATIONS") == "1"
 # Whole-SA-stage fusion (ball query + group + chain + pool in one kernel,
-# _sa1_fused_eval): "0" off | "1" on (TPU) | "interpret" (any backend).
-ENV_SA1_FUSE = os.environ.get("S4G_SA1_FUSE", "0")
+# _sa1_fused_eval): "auto" fuse iff batch >= 2 (static at trace time) |
+# "0" off | "1" always on (TPU) | "interpret" (any backend).  Measured on
+# v5e (round 5, solo-chip measure_batch): unfused wins at b=1 (163.6 vs
+# 148.4 scenes/s) but collapses at b>=2 (98.1 / 94.8 at b=2/4) where the
+# fused kernel holds (180.5 / 173.7) — hence the batch-conditional default.
+ENV_SA1_FUSE = os.environ.get("S4G_SA1_FUSE", "auto")
 
 
 class PointConv(nn.Module):

@@ -173,7 +173,13 @@ class PointNetSAModule(nn.Module):
                 # A/B).  Falls through to the unfused route when the stage
                 # shape doesn't fit the kernel.
                 from .nn_layers import ENV_SA1_FUSE
-                fuse = (ENV_SA1_FUSE != "0" and not train and csorted
+                want = (ENV_SA1_FUSE == "1"
+                        or ENV_SA1_FUSE == "interpret"
+                        # auto: batch is static at trace time; the fused
+                        # kernel wins at b>=2 and loses at b=1 (numbers at
+                        # nn_layers.ENV_SA1_FUSE)
+                        or (ENV_SA1_FUSE == "auto" and xyz.shape[0] >= 2))
+                fuse = (want and not train and csorted
                         and self.pool == "max" and not self.edge
                         and len(self.mlp_channels) == 3
                         and all(c % 128 == 0 for c in self.mlp_channels)
